@@ -1,0 +1,255 @@
+"""Slice segment header parse + write (spec 7.3.6.1)."""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from p265_tpu.hls import nal
+from p265_tpu.hls.bitio import BitReader, BitWriter
+from p265_tpu.hls.params import PPS, SPS, ShortTermRPS, parse_st_rps, write_st_rps
+
+SLICE_B = 0
+SLICE_P = 1
+SLICE_I = 2
+
+
+@dataclass
+class SliceHeader:
+    nal_type: int = nal.NAL_IDR_W_RADL
+    first_slice_in_pic: bool = True
+    no_output_of_prior_pics: bool = False
+    pps_id: int = 0
+    dependent_slice_segment: bool = False
+    slice_segment_address: int = 0
+    slice_type: int = SLICE_I
+    pic_output_flag: bool = True
+    pic_order_cnt_lsb: int = 0
+    # RPS selection
+    st_rps_sps_flag: bool = True
+    st_rps_idx: int = 0
+    st_rps_explicit: ShortTermRPS | None = None
+    # long-term (unsupported in writer, parsed minimally)
+    num_long_term_pics: int = 0
+    temporal_mvp_enabled: bool = False
+    sao_luma: bool = True
+    sao_chroma: bool = True
+    num_ref_idx_l0_active: int = 1
+    num_ref_idx_l1_active: int = 1
+    ref_pic_list_modification_l0: list[int] | None = None
+    ref_pic_list_modification_l1: list[int] | None = None
+    mvd_l1_zero: bool = False
+    cabac_init_flag: bool = False
+    collocated_from_l0: bool = True
+    collocated_ref_idx: int = 0
+    five_minus_max_num_merge_cand: int = 0
+    slice_qp: int = 26
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    deblocking_filter_override: bool = False
+    deblocking_filter_disabled: bool = False
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
+    loop_filter_across_slices: bool = True
+    entry_point_offsets: list[int] = field(default_factory=list)
+
+    @property
+    def max_num_merge_cand(self) -> int:
+        return 5 - self.five_minus_max_num_merge_cand
+
+    def is_irap(self) -> bool:
+        return nal.is_irap(self.nal_type)
+
+    def is_idr(self) -> bool:
+        return nal.is_idr(self.nal_type)
+
+    def init_type(self) -> int:
+        """CABAC initType (spec 9.3.2.2): I->0, P->1/2, B->2/1 by cabac_init_flag."""
+        if self.slice_type == SLICE_I:
+            return 0
+        if self.slice_type == SLICE_P:
+            return 2 if self.cabac_init_flag else 1
+        return 1 if self.cabac_init_flag else 2
+
+
+def _addr_bits(sps: SPS) -> int:
+    return max(1, math.ceil(math.log2(max(2, sps.num_ctbs))))
+
+
+def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS) -> None:
+    w.u(int(h.first_slice_in_pic), 1)
+    if nal.is_irap(h.nal_type):
+        w.u(int(h.no_output_of_prior_pics), 1)
+    w.ue(h.pps_id)
+    if not h.first_slice_in_pic:
+        if pps.dependent_slice_segments_enabled:
+            w.u(int(h.dependent_slice_segment), 1)
+        w.u(h.slice_segment_address, _addr_bits(sps))
+    if not h.dependent_slice_segment:
+        for _ in range(pps.num_extra_slice_header_bits):
+            w.u(0, 1)
+        w.ue(h.slice_type)
+        if pps.output_flag_present:
+            w.u(int(h.pic_output_flag), 1)
+        if not nal.is_idr(h.nal_type):
+            w.u(h.pic_order_cnt_lsb, sps.log2_max_poc_lsb)
+            if h.st_rps_explicit is not None:
+                w.u(0, 1)
+                write_st_rps(w, h.st_rps_explicit, len(sps.st_rps))
+            else:
+                w.u(1, 1)
+                if len(sps.st_rps) > 1:
+                    w.u(h.st_rps_idx, max(1, math.ceil(math.log2(len(sps.st_rps)))))
+            if sps.long_term_ref_pics_present:
+                raise NotImplementedError("long-term refs not in writer yet")
+            if sps.temporal_mvp_enabled:
+                w.u(int(h.temporal_mvp_enabled), 1)
+        if sps.sao_enabled:
+            w.u(int(h.sao_luma), 1)
+            w.u(int(h.sao_chroma), 1)
+        if h.slice_type in (SLICE_P, SLICE_B):
+            default = (pps.num_ref_idx_l0_default, pps.num_ref_idx_l1_default)
+            override = (h.num_ref_idx_l0_active != default[0]
+                        or (h.slice_type == SLICE_B
+                            and h.num_ref_idx_l1_active != default[1]))
+            w.u(int(override), 1)
+            if override:
+                w.ue(h.num_ref_idx_l0_active - 1)
+                if h.slice_type == SLICE_B:
+                    w.ue(h.num_ref_idx_l1_active - 1)
+            if pps.lists_modification_present:
+                raise NotImplementedError("ref list modification not in writer yet")
+            if h.slice_type == SLICE_B:
+                w.u(int(h.mvd_l1_zero), 1)
+            if pps.cabac_init_present:
+                w.u(int(h.cabac_init_flag), 1)
+            if h.temporal_mvp_enabled:
+                if h.slice_type == SLICE_B:
+                    w.u(int(h.collocated_from_l0), 1)
+                nref = (h.num_ref_idx_l0_active if h.collocated_from_l0
+                        else h.num_ref_idx_l1_active)
+                if nref > 1:
+                    w.ue(h.collocated_ref_idx)
+            if ((pps.weighted_pred and h.slice_type == SLICE_P)
+                    or (pps.weighted_bipred and h.slice_type == SLICE_B)):
+                raise NotImplementedError("pred_weight_table not in writer yet")
+            w.ue(h.five_minus_max_num_merge_cand)
+        w.se(h.slice_qp - 26 - (pps.init_qp - 26))
+        if pps.slice_chroma_qp_offsets_present:
+            w.se(h.cb_qp_offset)
+            w.se(h.cr_qp_offset)
+        if pps.deblocking_filter_control_present:
+            if pps.deblocking_filter_override_enabled:
+                w.u(int(h.deblocking_filter_override), 1)
+            if h.deblocking_filter_override:
+                w.u(int(h.deblocking_filter_disabled), 1)
+                if not h.deblocking_filter_disabled:
+                    w.se(h.beta_offset_div2)
+                    w.se(h.tc_offset_div2)
+        if (pps.loop_filter_across_slices
+                and (h.sao_luma or h.sao_chroma
+                     or not h.deblocking_filter_disabled)):
+            w.u(int(h.loop_filter_across_slices), 1)
+    if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
+        w.ue(len(h.entry_point_offsets))
+        if h.entry_point_offsets:
+            offset_len = max(1, max(o.bit_length() for o in h.entry_point_offsets))
+            w.ue(offset_len - 1)
+            for o in h.entry_point_offsets:
+                w.u(o - 1, offset_len)
+    w.align_one_then_zero()  # byte_alignment()
+
+
+def parse_slice_header(rbsp: bytes, nal_type: int, sps_map: dict[int, SPS],
+                       pps_map: dict[int, PPS]) -> tuple[SliceHeader, SPS, PPS, int]:
+    """Returns (header, sps, pps, byte offset of slice data in rbsp)."""
+    r = BitReader(rbsp)
+    h = SliceHeader(nal_type=nal_type)
+    h.first_slice_in_pic = bool(r.u(1))
+    if nal.is_irap(nal_type):
+        h.no_output_of_prior_pics = bool(r.u(1))
+    h.pps_id = r.ue()
+    pps = pps_map[h.pps_id]
+    sps = sps_map[pps.sps_id]
+    h.dependent_slice_segment = False
+    if not h.first_slice_in_pic:
+        if pps.dependent_slice_segments_enabled:
+            h.dependent_slice_segment = bool(r.u(1))
+        h.slice_segment_address = r.u(_addr_bits(sps))
+    if not h.dependent_slice_segment:
+        for _ in range(pps.num_extra_slice_header_bits):
+            r.u(1)
+        h.slice_type = r.ue()
+        if pps.output_flag_present:
+            h.pic_output_flag = bool(r.u(1))
+        if not nal.is_idr(nal_type):
+            h.pic_order_cnt_lsb = r.u(sps.log2_max_poc_lsb)
+            h.st_rps_sps_flag = bool(r.u(1))
+            if not h.st_rps_sps_flag:
+                h.st_rps_explicit = parse_st_rps(
+                    r, len(sps.st_rps), sps.st_rps, len(sps.st_rps))
+            elif len(sps.st_rps) > 1:
+                h.st_rps_idx = r.u(max(1, math.ceil(math.log2(len(sps.st_rps)))))
+            if sps.long_term_ref_pics_present:
+                raise NotImplementedError("long-term refs not supported yet")
+            if sps.temporal_mvp_enabled:
+                h.temporal_mvp_enabled = bool(r.u(1))
+        else:
+            h.pic_order_cnt_lsb = 0
+        if sps.sao_enabled:
+            h.sao_luma = bool(r.u(1))
+            h.sao_chroma = bool(r.u(1))
+        else:
+            h.sao_luma = h.sao_chroma = False
+        h.num_ref_idx_l0_active = pps.num_ref_idx_l0_default
+        h.num_ref_idx_l1_active = pps.num_ref_idx_l1_default
+        if h.slice_type in (SLICE_P, SLICE_B):
+            if r.u(1):  # num_ref_idx_active_override_flag
+                h.num_ref_idx_l0_active = r.ue() + 1
+                if h.slice_type == SLICE_B:
+                    h.num_ref_idx_l1_active = r.ue() + 1
+            if pps.lists_modification_present:
+                raise NotImplementedError("ref list modification not supported yet")
+            if h.slice_type == SLICE_B:
+                h.mvd_l1_zero = bool(r.u(1))
+            if pps.cabac_init_present:
+                h.cabac_init_flag = bool(r.u(1))
+            if h.temporal_mvp_enabled:
+                if h.slice_type == SLICE_B:
+                    h.collocated_from_l0 = bool(r.u(1))
+                nref = (h.num_ref_idx_l0_active if h.collocated_from_l0
+                        else h.num_ref_idx_l1_active)
+                if nref > 1:
+                    h.collocated_ref_idx = r.ue()
+            if ((pps.weighted_pred and h.slice_type == SLICE_P)
+                    or (pps.weighted_bipred and h.slice_type == SLICE_B)):
+                raise NotImplementedError("pred_weight_table not supported yet")
+            h.five_minus_max_num_merge_cand = r.ue()
+        h.slice_qp = 26 + (pps.init_qp - 26) + r.se()
+        if pps.slice_chroma_qp_offsets_present:
+            h.cb_qp_offset = r.se()
+            h.cr_qp_offset = r.se()
+        h.deblocking_filter_disabled = pps.deblocking_filter_disabled
+        h.beta_offset_div2 = pps.beta_offset_div2
+        h.tc_offset_div2 = pps.tc_offset_div2
+        if pps.deblocking_filter_control_present:
+            if pps.deblocking_filter_override_enabled:
+                h.deblocking_filter_override = bool(r.u(1))
+            if h.deblocking_filter_override:
+                h.deblocking_filter_disabled = bool(r.u(1))
+                if not h.deblocking_filter_disabled:
+                    h.beta_offset_div2 = r.se()
+                    h.tc_offset_div2 = r.se()
+        h.loop_filter_across_slices = pps.loop_filter_across_slices
+        if (pps.loop_filter_across_slices
+                and (h.sao_luma or h.sao_chroma
+                     or not h.deblocking_filter_disabled)):
+            h.loop_filter_across_slices = bool(r.u(1))
+    if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
+        n = r.ue()
+        if n:
+            offset_len = r.ue() + 1
+            h.entry_point_offsets = [r.u(offset_len) + 1 for _ in range(n)]
+    # byte_alignment()
+    assert r.u(1) == 1, "alignment_bit_equal_to_one missing"
+    r.align()
+    return h, sps, pps, r.byte_pos()
