@@ -145,9 +145,11 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS) -> None
                 if not h.deblocking_filter_disabled:
                     w.se(h.beta_offset_div2)
                     w.se(h.tc_offset_div2)
+        # effective deblock-disabled state (inherited from PPS unless overridden)
+        eff_disabled = (h.deblocking_filter_disabled if h.deblocking_filter_override
+                        else pps.deblocking_filter_disabled)
         if (pps.loop_filter_across_slices
-                and (h.sao_luma or h.sao_chroma
-                     or not h.deblocking_filter_disabled)):
+                and (h.sao_luma or h.sao_chroma or not eff_disabled)):
             w.u(int(h.loop_filter_across_slices), 1)
     if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
         w.ue(len(h.entry_point_offsets))
