@@ -1,0 +1,150 @@
+"""Decoded picture buffer: POC, RPS application, reference lists, bumping
+(spec 8.3.1-8.3.4, C.5).
+
+Device-resident picture slabs in the TPU pipeline; plain NumPy here (the DPB
+logic is identical, only the plane storage differs).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from p265_tpu.hls.params import SPS, ShortTermRPS
+from p265_tpu.hls.slice_header import SLICE_B, SLICE_I, SliceHeader
+
+
+@dataclass
+class Picture:
+    poc: int
+    planes: list           # post-filter [y, cb, cr] (np or device arrays)
+    is_reference: bool = True
+    needed_for_output: bool = True
+    # TMVP metadata at 16x16 granularity (spec motion compression)
+    col_mv: np.ndarray | None = None       # [h16, w16, 2, 2]
+    col_ref_poc: np.ndarray | None = None  # [h16, w16, 2], -2**30 = unused
+    col_is_long_term: np.ndarray | None = None
+
+
+NO_REF = -(1 << 30)
+
+
+class DPB:
+    def __init__(self, sps: SPS):
+        self.sps = sps
+        self.pics: list[Picture] = []
+        self.prev_poc_tid0 = 0
+        self.outputs: list[Picture] = []
+
+    # -- POC (8.3.1) ---------------------------------------------------------
+    def compute_poc(self, sh: SliceHeader, temporal_id: int = 0) -> int:
+        if sh.is_idr():
+            poc = 0
+        else:
+            max_lsb = self.sps.max_poc_lsb
+            prev = self.prev_poc_tid0
+            prev_lsb = prev & (max_lsb - 1)
+            prev_msb = prev - prev_lsb
+            lsb = sh.pic_order_cnt_lsb
+            if lsb < prev_lsb and (prev_lsb - lsb) >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif lsb > prev_lsb and (lsb - prev_lsb) > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            poc = msb + lsb
+        if temporal_id == 0:
+            self.prev_poc_tid0 = poc
+        return poc
+
+    # -- RPS (8.3.2) ---------------------------------------------------------
+    def apply_rps(self, sh: SliceHeader, poc: int) -> None:
+        if sh.is_idr():
+            for p in self.pics:
+                p.is_reference = False
+            self._flush_unneeded(bump_all=not sh.no_output_of_prior_pics)
+            if sh.no_output_of_prior_pics:
+                self.pics.clear()
+            return
+        rps = self._slice_rps(sh)
+        keep = set()
+        for d, used in zip(rps.delta_poc_s0 + rps.delta_poc_s1,
+                           rps.used_s0 + rps.used_s1):
+            keep.add(poc + d)
+        for p in self.pics:
+            if p.poc not in keep:
+                p.is_reference = False
+        self._flush_unneeded()
+
+    def _slice_rps(self, sh: SliceHeader) -> ShortTermRPS:
+        if sh.st_rps_explicit is not None:
+            return sh.st_rps_explicit
+        if not self.sps.st_rps:
+            return ShortTermRPS()
+        return self.sps.st_rps[sh.st_rps_idx]
+
+    # -- reference lists (8.3.4) --------------------------------------------
+    def build_ref_lists(self, sh: SliceHeader, poc: int
+                        ) -> tuple[list[Picture], list[Picture]]:
+        if sh.slice_type == SLICE_I:
+            return [], []
+        rps = self._slice_rps(sh)
+        before = sorted((poc + d for d, u in zip(rps.delta_poc_s0, rps.used_s0)
+                         if u), reverse=True)           # closest first
+        after = sorted(poc + d for d, u in zip(rps.delta_poc_s1, rps.used_s1)
+                       if u)
+        by_poc = {p.poc: p for p in self.pics if p.is_reference}
+        st_before = [by_poc[p] for p in before if p in by_poc]
+        st_after = [by_poc[p] for p in after if p in by_poc]
+        if len(st_before) != len(before) or len(st_after) != len(after):
+            missing = [p for p in before + after if p not in by_poc]
+            raise ValueError(f"reference pictures missing from DPB: {missing}")
+        tmp0 = st_before + st_after
+        l0 = [tmp0[i % len(tmp0)] for i in range(sh.num_ref_idx_l0_active)] \
+            if tmp0 else []
+        l1 = []
+        if sh.slice_type == SLICE_B:
+            tmp1 = st_after + st_before
+            l1 = [tmp1[i % len(tmp1)] for i in range(sh.num_ref_idx_l1_active)] \
+                if tmp1 else []
+        return l0, l1
+
+    # -- insertion / output (C.5) -------------------------------------------
+    def insert(self, pic: Picture) -> None:
+        self.pics.append(pic)
+        self._bump()
+
+    def _bump(self) -> None:
+        while True:
+            pending = [p for p in self.pics if p.needed_for_output]
+            over_reorder = len(pending) > self.sps.num_reorder_pics
+            over_size = len(self.pics) >= self.sps.max_dec_pic_buffering
+            if pending and (over_reorder or over_size):
+                first = min(pending, key=lambda p: p.poc)
+                self.outputs.append(first)
+                first.needed_for_output = False
+                self._flush_unneeded()
+            else:
+                break
+
+    def _flush_unneeded(self, bump_all: bool = False) -> None:
+        if bump_all:
+            for p in sorted(self.pics, key=lambda p: p.poc):
+                if p.needed_for_output:
+                    self.outputs.append(p)
+                    p.needed_for_output = False
+        self.pics = [p for p in self.pics
+                     if p.is_reference or p.needed_for_output]
+
+    def flush(self) -> None:
+        for p in sorted(self.pics, key=lambda p: p.poc):
+            if p.needed_for_output:
+                self.outputs.append(p)
+                p.needed_for_output = False
+        self.pics.clear()
+
+    def get_ref(self, poc: int) -> Picture:
+        for p in self.pics:
+            if p.poc == poc and p.is_reference:
+                return p
+        raise KeyError(poc)

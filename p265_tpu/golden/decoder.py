@@ -1,21 +1,23 @@
-"""Golden scalar HEVC decoder: Annex-B stream -> YUV frames.
+"""Golden scalar HEVC decoder: Annex-B stream -> YUV frames (output order).
 
 This is the oracle (SURVEY.md 4.2): spec-first, sequential, NumPy.  The TPU
-pipeline must match it bit-exactly.  Shares Stage-A parsing (hls + syntax)
-with the TPU decoder; reconstruction here is the scalar golden path.
+pipeline subclasses DecoderBase with a device reconstruction hook; both share
+Stage-A parsing, the DPB, and motion-context plumbing.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
+from p265_tpu.dpb.dpb import DPB, NO_REF, Picture
 from p265_tpu.entropy.engine import CabacDecoder, ContextModels
 from p265_tpu.golden import recon as grecon
+from p265_tpu.golden.mv import MotionCtx
 from p265_tpu.hls import nal
 from p265_tpu.hls.bitio import BitReader
 from p265_tpu.hls.params import parse_pps, parse_sps
-from p265_tpu.hls.slice_header import parse_slice_header
+from p265_tpu.hls.slice_header import SLICE_I, parse_slice_header
 from p265_tpu.syntax.ctu import FramePlan, parse_slice_data
 
 
@@ -23,21 +25,30 @@ from p265_tpu.syntax.ctu import FramePlan, parse_slice_data
 class DecodedFrame:
     poc: int
     planes: list[np.ndarray]        # post-filter [y, cb, cr]
-    prefilter: list[np.ndarray]     # pre-filter recon (intra refs / debugging)
+    prefilter: list[np.ndarray]
     plan: FramePlan
 
 
-class GoldenDecoder:
+class DecoderBase:
     def __init__(self, apply_filters: bool = True):
         self.sps_map = {}
         self.pps_map = {}
         self.apply_filters = apply_filters
-        self.frames: list[DecodedFrame] = []
+        self.dpb: DPB | None = None
+        self._decoded: list[DecodedFrame] = []
 
+    # -- overridable reconstruction hooks -----------------------------------
+    def _reconstruct(self, plan: FramePlan, refs: dict) -> list[np.ndarray]:
+        return grecon.reconstruct(plan, refs)
+
+    def _filters(self, plan: FramePlan, planes: list[np.ndarray]):
+        return apply_loop_filters(plan, planes)
+
+    # -- stream loop ---------------------------------------------------------
     def decode_stream(self, data: bytes) -> list[DecodedFrame]:
         for unit in nal.split_nal_units(data):
             self.decode_nal(unit)
-        return self.frames
+        return self.flush()
 
     def decode_nal(self, unit: nal.NalUnit) -> None:
         t = unit.nal_type
@@ -49,20 +60,68 @@ class GoldenDecoder:
             self.pps_map[p.pps_id] = p
         elif nal.is_slice_nal(t):
             self._decode_slice(unit)
-        # VPS / SEI / AUD / EOS: ignored
+
+    def flush(self) -> list[DecodedFrame]:
+        """Output-order frames decoded so far."""
+        if self.dpb is None:
+            return []
+        self.dpb.flush()
+        return [p.user for p in self.dpb.outputs]
 
     def _decode_slice(self, unit: nal.NalUnit) -> None:
         sh, sps, pps, off = parse_slice_header(
             unit.rbsp, unit.nal_type, self.sps_map, self.pps_map)
+        if self.dpb is None:
+            self.dpb = DPB(sps)
+        poc = self.dpb.compute_poc(sh, unit.temporal_id)
+        self.dpb.apply_rps(sh, poc)
+        l0, l1 = self.dpb.build_ref_lists(sh, poc)
+
+        mctx = None
+        if sh.slice_type != SLICE_I:
+            col_mv = col_rp = None
+            col_poc = None
+            if sh.temporal_mvp_enabled:
+                col_list = l0 if sh.collocated_from_l0 else l1
+                col = col_list[sh.collocated_ref_idx]
+                col_mv, col_rp, col_poc = col.col_mv, col.col_ref_poc, col.poc
+            h4 = (sps.pic_height + 3) >> 2
+            w4 = (sps.pic_width + 3) >> 2
+            mctx = MotionCtx(sps, sh, poc, [p.poc for p in l0],
+                             [p.poc for p in l1], (h4, w4),
+                             col_mv=col_mv, col_ref_poc=col_rp, col_poc=col_poc)
+
         dec = CabacDecoder(BitReader(unit.rbsp[off:]),
                            ContextModels(sh.init_type(), sh.slice_qp))
-        plan = parse_slice_data(dec, sps, pps, sh)
-        prefilter = grecon.reconstruct(plan)
-        planes = [p.copy() for p in prefilter]
+        plan = parse_slice_data(dec, sps, pps, sh, mctx)
+        plan.poc = poc
+        plan.l0_pocs = [p.poc for p in l0]
+        plan.l1_pocs = [p.poc for p in l1]
+
+        refs = {p.poc: p.planes for p in self.dpb.pics if p.is_reference}
+        prefilter = self._reconstruct(plan, refs)
+        planes = [np.asarray(p).copy() for p in prefilter]
         if self.apply_filters:
-            planes = apply_loop_filters(plan, planes)
-        self.frames.append(DecodedFrame(sh.pic_order_cnt_lsb, planes,
-                                        prefilter, plan))
+            planes = self._filters(plan, planes)
+
+        frame = DecodedFrame(poc, planes, prefilter, plan)
+        pic = Picture(poc, planes,
+                      is_reference=nal.is_reference_nal(unit.nal_type))
+        pic.user = frame
+        if mctx is not None:
+            pic.col_mv = mctx.mv[::4, ::4].copy()
+            pic.col_ref_poc = mctx.ref_poc[::4, ::4].copy()
+        else:
+            h16 = (sps.pic_height + 15) >> 4
+            w16 = (sps.pic_width + 15) >> 4
+            pic.col_mv = np.zeros((h16, w16, 2, 2), np.int32)
+            pic.col_ref_poc = np.full((h16, w16, 2), NO_REF, np.int32)
+        self._decoded.append(frame)
+        self.dpb.insert(pic)
+
+
+class GoldenDecoder(DecoderBase):
+    pass
 
 
 def apply_loop_filters(plan: FramePlan, planes: list[np.ndarray]

@@ -1,14 +1,16 @@
 """Golden scalar reconstruction: FramePlan -> pre-filter YUV planes.
 
-Sequential z-order walk over TU records; intra prediction reads previously
-reconstructed samples (the in-frame dependency the TPU pipeline re-schedules
-as wavefronts, SURVEY.md 7.4).
+Inter prediction (MC from DPB reference pictures) is computed into prediction
+planes up front -- it has no dependency on the current frame -- then the
+sequential z-order TU walk adds residuals, with intra TUs predicting from
+previously reconstructed samples as before.
 """
 from __future__ import annotations
 
 import numpy as np
 
 from p265_tpu.golden.intra import intra_predict_tu
+from p265_tpu.golden.inter import (combine_bi, combine_uni, mc_chroma, mc_luma)
 from p265_tpu.golden.transform import (dequant, inverse_transform,
                                        transform_skip_residual)
 from p265_tpu.syntax.ctu import FramePlan
@@ -23,7 +25,46 @@ def tu_qp(plan: FramePlan, c_idx: int, luma_qp: int) -> int:
     return chroma_qp_from_luma(clip3(0, 57, luma_qp + off))
 
 
-def reconstruct(plan: FramePlan) -> list[np.ndarray]:
+def build_inter_pred(plan: FramePlan, refs: dict) -> list[np.ndarray] | None:
+    """MC prediction planes for every inter PU.  refs: poc -> [y, cb, cr]."""
+    if not plan.pus:
+        return None
+    sps = plan.sps
+    w, h = sps.pic_width, sps.pic_height
+    pred = [np.zeros((h, w), np.int32),
+            np.zeros((h >> 1, w >> 1), np.int32),
+            np.zeros((h >> 1, w >> 1), np.int32)]
+    for pu in plan.pus:
+        m = pu.motion
+        luma_parts = []
+        chroma_parts = [[], []]
+        for lx in range(2):
+            if not m.uses(lx):
+                continue
+            ref_planes = refs[m.ref_poc[lx]]
+            mvx, mvy = m.mv[lx]
+            luma_parts.append(mc_luma(ref_planes[0], pu.x, pu.y, pu.w, pu.h,
+                                      mvx, mvy))
+            for ci in (1, 2):
+                chroma_parts[ci - 1].append(
+                    mc_chroma(ref_planes[ci], pu.x >> 1, pu.y >> 1,
+                              pu.w >> 1, pu.h >> 1, mvx, mvy))
+        if len(luma_parts) == 2:
+            py = combine_bi(*luma_parts)
+            pcb = combine_bi(*chroma_parts[0])
+            pcr = combine_bi(*chroma_parts[1])
+        else:
+            py = combine_uni(luma_parts[0])
+            pcb = combine_uni(chroma_parts[0][0])
+            pcr = combine_uni(chroma_parts[1][0])
+        pred[0][pu.y:pu.y + pu.h, pu.x:pu.x + pu.w] = py
+        cy, cx, cw, ch = pu.y >> 1, pu.x >> 1, pu.w >> 1, pu.h >> 1
+        pred[1][cy:cy + ch, cx:cx + cw] = pcb
+        pred[2][cy:cy + ch, cx:cx + cw] = pcr
+    return pred
+
+
+def reconstruct(plan: FramePlan, refs: dict | None = None) -> list[np.ndarray]:
     """Returns [y, cb, cr] int32 planes, pre-loop-filter."""
     sps = plan.sps
     w, h = sps.pic_width, sps.pic_height
@@ -34,17 +75,21 @@ def reconstruct(plan: FramePlan) -> list[np.ndarray]:
     avails = [np.zeros(((h + 3) >> 2, (w + 3) >> 2), bool),
               np.zeros(((ch + 3) >> 2, (cw + 3) >> 2), bool),
               np.zeros(((ch + 3) >> 2, (cw + 3) >> 2), bool)]
+    inter_pred = build_inter_pred(plan, refs or {})
     for tu in plan.tus:
-        reconstruct_tu(plan, tu, planes, avails)
+        reconstruct_tu(plan, tu, planes, avails, inter_pred)
     return planes
 
 
-def reconstruct_tu(plan: FramePlan, tu, planes, avails) -> None:
+def reconstruct_tu(plan: FramePlan, tu, planes, avails, inter_pred=None) -> None:
     size = 1 << tu.log2
     plane = planes[tu.c_idx]
     avail = avails[tu.c_idx]
-    pred = intra_predict_tu(plane, avail, tu.x, tu.y, size, tu.mode, tu.c_idx,
-                            plan.sps.strong_intra_smoothing)
+    if tu.is_inter:
+        pred = inter_pred[tu.c_idx][tu.y:tu.y + size, tu.x:tu.x + size]
+    else:
+        pred = intra_predict_tu(plane, avail, tu.x, tu.y, size, tu.mode,
+                                tu.c_idx, plan.sps.strong_intra_smoothing)
     if tu.pred_only:
         rec = pred
     else:
@@ -53,7 +98,7 @@ def reconstruct_tu(plan: FramePlan, tu, planes, avails) -> None:
         if tu.tskip:
             res = transform_skip_residual(d)
         else:
-            is_dst = tu.c_idx == 0 and tu.log2 == 2  # intra luma 4x4 -> DST-VII
+            is_dst = (not tu.is_inter) and tu.c_idx == 0 and tu.log2 == 2
             res = inverse_transform(d, tu.log2, is_dst)
         rec = np.clip(pred + res, 0, 255)
     plane[tu.y:tu.y + size, tu.x:tu.x + size] = rec

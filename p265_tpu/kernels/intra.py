@@ -82,11 +82,13 @@ def _angular(main, side, angle, inv, size):
 
 @functools.partial(jax.jit, static_argnames=("size", "c_idx"))
 def predict_batch(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
-                  strong_allowed, residual, size: int, c_idx: int):
+                  strong_allowed, residual, size: int, c_idx: int,
+                  inter=None, pred_plane=None):
     """One wavefront step for one size bucket.
 
     plane: [Hpad, W] int32 current recon (device)
     pos: [n, 2] (y, x); ref_*: [n, 2*(2s+1)]; mode: [n]; residual: [n, s, s]
+    inter: [n] bool -> prediction gathered from pred_plane instead of intra.
     Returns updated plane.
     """
     s = size
@@ -145,7 +147,10 @@ def predict_batch(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
         pred = jnp.where((mode == 10)[:, None, None],
                          pred.at[:, 0, :].set(h_row), pred)
 
-    out = jnp.clip(pred + residual, 0, 255)
     rows = pos[:, 0][:, None, None] + jnp.arange(s)[None, :, None]
     cols = pos[:, 1][:, None, None] + jnp.arange(s)[None, None, :]
+    if inter is not None and pred_plane is not None:
+        mc = pred_plane[rows, cols]
+        pred = jnp.where(inter[:, None, None], mc, pred)
+    out = jnp.clip(pred + residual, 0, 255)
     return plane.at[rows, cols].set(out)

@@ -1,0 +1,127 @@
+"""Device-resident wavefront executor: one lax.scan over steps per plane.
+
+All per-step TU data is stacked into [n_steps, capacity, ...] tensors on the
+host once, shipped to the device once, and consumed by a single compiled
+scan -- no per-step host round trips (this was a 100x dispatch-overhead trap
+in the naive loop).  Capacities are bucketed to powers of two and the step
+count padded so compilations cache across frames of a stream.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from p265_tpu.kernels.intra import predict_batch
+from p265_tpu.kernels.itransform import batch_residual
+from p265_tpu.plan.frame_plan import PlanePlan, TensorPlan
+
+GUARD = 32
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    c = lo
+    while c < n:
+        c <<= 1
+    return c
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _stack_plane(pp: PlanePlan):
+    """Host: per-size stacked step tensors + residual gather maps."""
+    n_steps = _round_up(max(pp.n_steps, 1), 8)
+    out = {}
+    for log2, b in pp.batches.items():
+        size = 1 << log2
+        counts = np.bincount(b.step, minlength=n_steps + 1)[1:n_steps + 1]
+        cap = _pow2(int(counts.max()) if counts.size else 1)
+        n = len(b.step)
+        # index map into the bucket axis; n = pad slot (points past real TUs)
+        idx_map = np.full((n_steps, cap), n, np.int32)
+        # starts[k] = first index with step >= k+1; step for row s is s+1
+        starts = np.searchsorted(b.step, np.arange(1, n_steps + 2))
+        for s in range(n_steps):
+            i0, i1 = starts[s], starts[s + 1]
+            idx_map[s, :i1 - i0] = np.arange(i0, i1)
+
+        def pad_gather(a, fill=0):
+            ap = np.concatenate([a, np.full((1,) + a.shape[1:], fill, a.dtype)])
+            return ap[idx_map]
+
+        ph, pw = pp.shape
+        pos = pad_gather(b.pos)
+        pos[idx_map == n] = (ph, 0)  # pads scatter into the guard region
+        out[log2] = dict(
+            idx_map=idx_map,
+            pos=pos,
+            ref_ys=pad_gather(b.ref_ys),
+            ref_xs=pad_gather(b.ref_xs),
+            ref_ok=pad_gather(b.ref_ok),
+            mode=pad_gather(b.mode, 1),
+            filter_flag=pad_gather(b.filter_flag),
+            strong_allowed=pad_gather(b.strong_allowed),
+            inter=pad_gather(b.inter),
+        )
+    return n_steps, out
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "c_idx", "shape"))
+def _run_plane(stacked, residuals, sizes: tuple, c_idx: int, shape: tuple,
+               pred_plane=None):
+    """stacked: dict log2 -> dict of [n_steps, cap, ...]; residuals: dict
+    log2 -> [n_steps, cap, s, s].  Returns the reconstructed plane."""
+    ph, pw = shape
+    plane = jnp.zeros((ph + GUARD, pw), jnp.int32)
+    if pred_plane is None:
+        pred_plane = jnp.zeros((1, 1), jnp.int32)
+    pred_pad = jnp.zeros((ph + GUARD, pw), jnp.int32)
+    pred_pad = pred_pad.at[:pred_plane.shape[0], :pred_plane.shape[1]].set(
+        pred_plane[:ph, :pw])
+
+    def body(plane, step_data):
+        for log2 in sizes:
+            d = step_data[log2]
+            plane = predict_batch.__wrapped__(
+                plane, d["pos"], d["ref_ys"], d["ref_xs"], d["ref_ok"],
+                d["mode"], d["filter_flag"], d["strong_allowed"],
+                d["residual"], 1 << log2, c_idx,
+                inter=d["inter"], pred_plane=pred_pad)
+        return plane, None
+
+    scan_in = {log2: dict(stacked[log2], residual=residuals[log2])
+               for log2 in sizes}
+    plane, _ = jax.lax.scan(body, plane, scan_in)
+    return plane[:ph]
+
+
+def reconstruct_tpu_scan(tplan: TensorPlan, use_mxu: bool = True):
+    """Stage B via one scan per plane; returns [y, cb, cr] np planes."""
+    outs = []
+    for pp in tplan.planes:
+        if not pp.batches:
+            outs.append(np.zeros(pp.shape, np.int32))
+            continue
+        n_steps, stacked = _stack_plane(pp)
+        residuals = {}
+        for log2, b in pp.batches.items():
+            res = batch_residual(
+                jnp.asarray(b.coeffs), jnp.asarray(b.qp),
+                jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu)
+            res = jnp.concatenate(
+                [res, jnp.zeros((1,) + res.shape[1:], res.dtype)])
+            residuals[log2] = res[jnp.asarray(stacked[log2]["idx_map"])]
+        dev_stacked = {
+            log2: {k: jnp.asarray(v) for k, v in d.items() if k != "idx_map"}
+            for log2, d in stacked.items()}
+        sizes = tuple(sorted(pp.batches.keys()))
+        pred = (None if pp.inter_pred is None
+                else jnp.asarray(pp.inter_pred))
+        plane = _run_plane(dev_stacked, residuals, sizes,
+                           min(pp.plane_idx, 1), pp.shape, pred)
+        outs.append(plane)
+    return [np.asarray(p) for p in outs]

@@ -40,6 +40,7 @@ class TuBatch:
     is_dst: np.ndarray     # [n] bool
     tskip: np.ndarray      # [n] bool
     has_res: np.ndarray    # [n] bool
+    inter: np.ndarray      # [n] bool: prediction comes from the MC pred plane
     filter_flag: np.ndarray    # [n] bool ([1 2 1] smoothing)
     strong_allowed: np.ndarray  # [n] bool (32x32 luma + sps flag)
     dc_edge: np.ndarray    # [n] bool (luma, size<32 DC/10/26 edge filters)
@@ -54,6 +55,7 @@ class PlanePlan:
     shape: tuple[int, int]
     n_steps: int
     batches: dict[int, TuBatch] = field(default_factory=dict)  # by log2
+    inter_pred: np.ndarray | None = None   # MC prediction plane (P/B frames)
 
 
 @dataclass
@@ -69,21 +71,57 @@ def _filter_flag(mode: int, size: int, c_idx: int) -> bool:
     return min_dist > INTRA_HOR_VER_DIST_THRES.get(size, 10)
 
 
-def build_tensor_plan(plan: FramePlan) -> TensorPlan:
+def _expand_large(tus):
+    """Split pred-only records larger than 32x32 (64x64 skip CUs) into four
+    quadrant records so every record fits a TuBatch bucket."""
+    from p265_tpu.syntax.ctu import TuRec
+    out = []
+    for t in tus:
+        if t.log2 <= 5:
+            out.append(t)
+            continue
+        assert t.pred_only and t.is_inter
+        half = 1 << (t.log2 - 1)
+        for dy in (0, half):
+            for dx in (0, half):
+                out.append(TuRec(t.x + dx, t.y + dy, t.log2 - 1, t.c_idx,
+                                 t.mode, None, qp=t.qp, pred_only=True,
+                                 is_inter=True))
+    return out
+
+
+def build_tensor_plan(plan: FramePlan, refs: dict | None = None) -> TensorPlan:
     sps = plan.sps
     w, h = sps.pic_width, sps.pic_height
     shapes = [(h, w), (h >> 1, w >> 1), (h >> 1, w >> 1)]
+    inter_pred = None
+    if plan.pus:
+        from p265_tpu.golden.recon import build_inter_pred
+        inter_pred = build_inter_pred(plan, refs or {})
     planes = []
     for p_idx in range(3):
         ph, pw = shapes[p_idx]
         g_h, g_w = (ph + 3) >> 2, (pw + 3) >> 2
         avail = np.zeros((g_h, g_w), bool)
         prod_step = np.zeros((g_h, g_w), np.int32)  # step of producing TU
-        tus = [t for t in plan.tus if t.c_idx == p_idx]
+        tus = _expand_large([t for t in plan.tus if t.c_idx == p_idx])
         per_tu = []
         for t in tus:
             size = 1 << t.log2
             n = size
+            if t.is_inter:
+                # MC prediction: no in-frame reference dependency
+                nref2 = 2 * (2 * n + 1)
+                ys = np.zeros(nref2, np.int32)
+                xs = np.zeros(nref2, np.int32)
+                okv = np.zeros(nref2, bool)
+                step = 1
+                per_tu.append((t, step, ys, xs, okv))
+                y1 = min(t.y + size, ph)
+                x1 = min(t.x + size, pw)
+                avail[t.y >> 2:(y1 + 3) >> 2, t.x >> 2:(x1 + 3) >> 2] = True
+                prod_step[t.y >> 2:(y1 + 3) >> 2, t.x >> 2:(x1 + 3) >> 2] = step
+                continue
             # reference search order: p[-1][2N-1]..p[-1][-1], p[0..2N-1][-1]
             coords = ([(t.x - 1, t.y + i) for i in range(2 * n - 1, -1, -1)]
                       + [(t.x - 1, t.y - 1)]
@@ -127,7 +165,8 @@ def build_tensor_plan(plan: FramePlan) -> TensorPlan:
             prod_step[t.y >> 2:(y1 + 3) >> 2, t.x >> 2:(x1 + 3) >> 2] = step
 
         n_steps = max((s for _, s, *_ in per_tu), default=0)
-        pp = PlanePlan(p_idx, shapes[p_idx], n_steps)
+        pp = PlanePlan(p_idx, shapes[p_idx], n_steps,
+                       inter_pred=None if inter_pred is None else inter_pred[p_idx])
         for log2 in LOG2_SIZES:
             size = 1 << log2
             rows = [(t, s, ys, xs, okv) for (t, s, ys, xs, okv) in per_tu
@@ -147,9 +186,11 @@ def build_tensor_plan(plan: FramePlan) -> TensorPlan:
                 qp=np.array([tu_qp(plan, p_idx, t.qp) for t, *_ in rows], np.int32),
                 mode=np.array([t.mode for t, *_ in rows], np.int32),
                 c_idx=np.full(m, p_idx, np.int32),
-                is_dst=np.array([p_idx == 0 and t.log2 == 2 for t, *_ in rows], bool),
+                is_dst=np.array([p_idx == 0 and t.log2 == 2 and not t.is_inter
+                                 for t, *_ in rows], bool),
                 tskip=np.array([t.tskip for t, *_ in rows], bool),
                 has_res=np.array([not t.pred_only for t, *_ in rows], bool),
+                inter=np.array([t.is_inter for t, *_ in rows], bool),
                 filter_flag=np.array(
                     [_filter_flag(t.mode, size, p_idx) for t, *_ in rows], bool),
                 strong_allowed=np.array(

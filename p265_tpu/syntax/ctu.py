@@ -1,13 +1,12 @@
 """CTU-level syntax: coding quadtree, CU/PU/TU, SAO params (spec 7.3.8).
 
 Stage-A design (SURVEY.md 7.1): parsing emits a flat FramePlan (TU records in
-reconstruction z-order + per-4x4 metadata maps).  Reconstruction is a separate
-pass (golden scalar or TPU kernels) over the plan.  The encoder serializes a
-pre-built FramePlan through the same traversal (CtuCoder with is_enc=True and
-planner callbacks), so decode/encode stay bit-symmetric by construction.
-
-Intra (I-slice) complete; inter fields live in the same records and are added
-by the inter milestone.
+reconstruction z-order, PU motion records, per-4x4 metadata maps).
+Reconstruction is a separate pass (golden scalar or TPU kernels) over the
+plan.  The encoder serializes a pre-built FramePlan through the same traversal
+(CtuCoder with is_enc=True and planner callbacks), so decode/encode stay
+bit-symmetric by construction.  Motion-vector candidate derivation
+(golden/mv.py) runs identically in both directions.
 """
 from __future__ import annotations
 
@@ -15,14 +14,38 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from p265_tpu.entropy.engine import CabacDecoder
 from p265_tpu.golden.intra import derive_mpm
+from p265_tpu.golden.mv import Motion, MotionCtx, derive_amvp, derive_merge_list
 from p265_tpu.hls.params import PPS, SPS
-from p265_tpu.hls.slice_header import SLICE_I, SliceHeader
+from p265_tpu.hls.slice_header import SLICE_B, SLICE_I, SliceHeader
 from p265_tpu.syntax.residual import decode_residual, encode_residual
 from p265_tpu.tables import residual_scan_idx
 
 SAO_OFF, SAO_BAND, SAO_EDGE = 0, 1, 2
+
+# part mode -> list of PU rects (fractions of CU size in 1/4 units)
+_PART_RECTS = {
+    "2Nx2N": [(0, 0, 4, 4)],
+    "2NxN": [(0, 0, 4, 2), (0, 2, 4, 2)],
+    "Nx2N": [(0, 0, 2, 4), (2, 0, 2, 4)],
+    "NxN": [(0, 0, 2, 2), (2, 0, 2, 2), (0, 2, 2, 2), (2, 2, 2, 2)],
+    "2NxnU": [(0, 0, 4, 1), (0, 1, 4, 3)],
+    "2NxnD": [(0, 0, 4, 3), (0, 3, 4, 1)],
+    "nLx2N": [(0, 0, 1, 4), (1, 0, 3, 4)],
+    "nRx2N": [(0, 0, 3, 4), (3, 0, 1, 4)],
+}
+
+
+def pu_rects(part: str, x0: int, y0: int, size: int):
+    q = size >> 2
+    return [(x0 + fx * q, y0 + fy * q, fw * q, fh * q)
+            for (fx, fy, fw, fh) in _PART_RECTS[part]]
+
+
+def wrap_mv(v: int) -> int:
+    """16-bit wrap-around of mvp + mvd (spec 8.5.3.1 eq 8-95)."""
+    u = (v + (1 << 16)) % (1 << 16)
+    return u - (1 << 16) if u >= (1 << 15) else u
 
 
 @dataclass
@@ -30,19 +53,29 @@ class TuRec:
     """One transform block in reconstruction order."""
     x: int              # plane coords (luma plane for c_idx 0, chroma plane else)
     y: int
-    log2: int           # transform size log2
-    c_idx: int          # 0 luma, 1 cb, 2 cr
-    mode: int           # intra pred mode for this block's component
-    levels: np.ndarray | None  # quantized coefficients [size,size] or None
+    log2: int
+    c_idx: int
+    mode: int           # intra pred mode; -1 for inter blocks
+    levels: np.ndarray | None
     tskip: bool = False
-    qp: int = 26        # luma QP of covering CU (chroma mapping applied at recon)
-    pred_only: bool = False  # cbf == 0: prediction with no residual
+    qp: int = 26
+    pred_only: bool = False
+    is_inter: bool = False
+
+
+@dataclass
+class PuRec:
+    x: int
+    y: int
+    w: int
+    h: int
+    motion: Motion
 
 
 @dataclass
 class SaoRec:
     type: list[int] = field(default_factory=lambda: [SAO_OFF] * 3)
-    cls: list[int] = field(default_factory=lambda: [0] * 3)  # eo class / band pos
+    cls: list[int] = field(default_factory=lambda: [0] * 3)
     offsets: list[list[int]] = field(default_factory=lambda: [[0] * 4 for _ in range(3)])
     merge_left: bool = False
     merge_up: bool = False
@@ -54,17 +87,21 @@ class FramePlan:
     pps: PPS
     sh: SliceHeader
     tus: list[TuRec] = field(default_factory=list)
-    sao: list[SaoRec] = field(default_factory=list)  # per CTU raster order
-    # per-4x4 luma-grid metadata (filled during parse; encoder provides its own)
-    intra_mode_map: np.ndarray | None = None   # luma intra mode, -1 unavail/not-intra
+    pus: list[PuRec] = field(default_factory=list)
+    sao: list[SaoRec] = field(default_factory=list)
+    poc: int = 0
+    l0_pocs: list[int] = field(default_factory=list)
+    l1_pocs: list[int] = field(default_factory=list)
+    # per-4x4 luma-grid metadata
+    intra_mode_map: np.ndarray | None = None
     ct_depth_map: np.ndarray | None = None
     qp_map: np.ndarray | None = None
-    intra_map: np.ndarray | None = None        # 1 if intra CU
-    cbf_map: np.ndarray | None = None          # cbf_luma of covering TU
-    edge_flags: np.ndarray | None = None       # bit0: left edge is PU/TU/CU edge; bit1: top
-    # inter fields (filled by inter milestone)
-    mv_map: np.ndarray | None = None
-    ref_map: np.ndarray | None = None
+    intra_map: np.ndarray | None = None
+    cbf_map: np.ndarray | None = None
+    edge_flags: np.ndarray | None = None
+    skip_map: np.ndarray | None = None
+    mv_map: np.ndarray | None = None     # [h4,w4,2,2] (wired from MotionCtx)
+    ref_map: np.ndarray | None = None    # [h4,w4,2] ref POCs, NO_REF unused
 
     def grid_shape(self) -> tuple[int, int]:
         return ((self.sps.pic_height + 3) >> 2, (self.sps.pic_width + 3) >> 2)
@@ -77,6 +114,7 @@ class FramePlan:
         self.intra_map = np.zeros((h4, w4), np.int32)
         self.cbf_map = np.zeros((h4, w4), np.int32)
         self.edge_flags = np.zeros((h4, w4), np.int32)
+        self.skip_map = np.zeros((h4, w4), np.int32)
 
 
 class _SyntaxIO:
@@ -122,39 +160,48 @@ class _SyntaxIO:
             v += 1
         return v
 
+    def eg_bypass(self, k: int, value: int | None = None) -> int:
+        if self.is_enc:
+            self.e.encode_eg_bypass(k, value)
+            return value
+        return self.e.decode_eg_bypass(k)
+
 
 class CtuCoder:
     """Walks one slice's CTUs, decoding into / encoding from a FramePlan.
 
-    For encoding, a planner object supplies the decisions:
-      planner.cu_split(x0, y0, log2, depth) -> bool
-      planner.part_nxn(x0, y0) -> bool
-      planner.luma_modes(x0, y0) -> list of PU modes (len 1 or 4)
-      planner.chroma_mode_idx(x0, y0) -> 0..4 (4 = DM)
-      planner.tt_split(x0, y0, log2, depth) -> bool
-      planner.cbf(x0, y0, log2, c_idx) -> bool   (plane coords for chroma)
-    and plan.tus/plan.sao hold the records to serialize, in traversal order.
+    For encoding, a planner object supplies the decisions (see
+    testgen.encoder.EncPlanner); plan.tus/pus/sao hold the records to
+    serialize in traversal order.  mctx is the (fresh) MotionCtx for P/B
+    slices; motion derivation re-runs during serialization and is asserted
+    against the planned motion.
     """
 
     def __init__(self, engine, sps: SPS, pps: PPS, sh: SliceHeader,
-                 plan: FramePlan, is_enc: bool, planner=None):
+                 plan: FramePlan, is_enc: bool, planner=None,
+                 mctx: MotionCtx | None = None):
         self.io = _SyntaxIO(engine, is_enc)
         self.engine = engine
         self.is_enc = is_enc
         self.sps, self.pps, self.sh = sps, pps, sh
         self.plan = plan
         self.planner = planner
-        if not is_enc:
+        if plan.intra_mode_map is None:
             plan.alloc_maps()
-        else:
+        if is_enc:
             assert planner is not None
-            if plan.intra_mode_map is None:
-                plan.alloc_maps()
         self.mode_map = plan.intra_mode_map
         self.depth_map = plan.ct_depth_map
         h4, w4 = plan.grid_shape()
         self.avail = np.zeros((h4, w4), bool)
+        self.mctx = mctx
+        if mctx is not None:
+            plan.mv_map = mctx.mv
+            plan.ref_map = mctx.ref_poc
+            mctx.avail = self._avail_at
+            mctx.intra_map = plan.intra_map
         self._tu_iter = iter(plan.tus) if is_enc else None
+        self._pu_iter = iter(plan.pus) if is_enc else None
         self._sao_iter = iter(plan.sao) if is_enc else None
 
     # -- helpers -------------------------------------------------------------
@@ -168,15 +215,20 @@ class CtuCoder:
         y1 = min(y0 + size, self.sps.pic_height)
         self.avail[y0 >> 2:(y1 + 3) >> 2, x0 >> 2:(x1 + 3) >> 2] = True
 
-    def _set_map(self, m: np.ndarray, x0: int, y0: int, size: int, v: int) -> None:
-        x1 = min(x0 + size, self.sps.pic_width)
-        y1 = min(y0 + size, self.sps.pic_height)
+    def _set_map(self, m: np.ndarray, x0: int, y0: int, w: int, h: int | None = None,
+                 v: int = 0) -> None:
+        if h is None:
+            h = w
+        x1 = min(x0 + w, self.sps.pic_width)
+        y1 = min(y0 + h, self.sps.pic_height)
         m[y0 >> 2:(y1 + 3) >> 2, x0 >> 2:(x1 + 3) >> 2] = v
 
-    def _set_edges(self, x0: int, y0: int, size: int) -> None:
+    def _set_edges(self, x0: int, y0: int, w: int, h: int | None = None) -> None:
+        if h is None:
+            h = w
         ef = self.plan.edge_flags
-        x1 = min(x0 + size, self.sps.pic_width)
-        y1 = min(y0 + size, self.sps.pic_height)
+        x1 = min(x0 + w, self.sps.pic_width)
+        y1 = min(y0 + h, self.sps.pic_height)
         ef[y0 >> 2:(y1 + 3) >> 2, x0 >> 2] |= 1
         ef[y0 >> 2, x0 >> 2:(x1 + 3) >> 2] |= 2
 
@@ -260,7 +312,6 @@ class CtuCoder:
                 rec.cls[c] = self.io.bypass_bits(
                     5, rec.cls[c] if self.is_enc else None)
             else:
-                # EO: categories 1,2 positive; 3,4 negative (signs inferred)
                 rec.offsets[c] = [mags[0], mags[1], -mags[2], -mags[3]]
                 if c == 2:
                     rec.cls[2] = rec.cls[1]
@@ -286,7 +337,7 @@ class CtuCoder:
                 if self.is_enc else None
             split = self.io.flag("split_cu_flag", inc, want)
         else:
-            split = int(can_split)  # forced split at boundary; leaf at min size
+            split = int(can_split)
         if split:
             half = size >> 1
             for dy in (0, half):
@@ -295,20 +346,50 @@ class CtuCoder:
                     if x1 < sps.pic_width and y1 < sps.pic_height:
                         self._coding_quadtree(x1, y1, log2_size - 1, depth + 1)
             return
-        self._set_map(self.depth_map, x0, y0, size, depth)
+        self._set_map(self.depth_map, x0, y0, size, v=depth)
         self._coding_unit(x0, y0, log2_size)
 
-    # -- coding unit (spec 7.3.8.5; intra only) ------------------------------
+    # -- coding unit (spec 7.3.8.5) ------------------------------------------
     def _coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
         sps = self.sps
         size = 1 << log2_size
-        assert self.sh.slice_type == SLICE_I, "inter CU coding lands next milestone"
         if self.pps.transquant_bypass_enabled:
             raise NotImplementedError("cu_transquant_bypass_flag")
+        if self.sh.slice_type != SLICE_I:
+            inc = 0
+            if self._avail_at(x0 - 1, y0):
+                inc += int(self.plan.skip_map[y0 >> 2, (x0 - 1) >> 2])
+            if self._avail_at(x0, y0 - 1):
+                inc += int(self.plan.skip_map[(y0 - 1) >> 2, x0 >> 2])
+            want = (int(self.planner.cu_skip(x0, y0)) if self.is_enc else None)
+            skip = self.io.flag("cu_skip_flag", inc, want)
+            if skip:
+                self._set_map(self.plan.skip_map, x0, y0, size, v=1)
+                self._set_map(self.plan.intra_map, x0, y0, size, v=0)
+                self._set_map(self.plan.qp_map, x0, y0, size, v=self.sh.slice_qp)
+                self._set_edges(x0, y0, size)
+                self._prediction_unit(x0, y0, size, size, 0, "2Nx2N",
+                                      x0, y0, log2_size, merge_only=True)
+                self._emit_inter_pred_only(x0, y0, size)
+                self._mark(x0, y0, size)
+                return
+        pred_intra = True
+        if self.sh.slice_type != SLICE_I:
+            want = (int(self.planner.pred_mode_intra(x0, y0))
+                    if self.is_enc else None)
+            pred_intra = bool(self.io.flag("pred_mode_flag", 0, want))
+        if pred_intra:
+            self._intra_cu(x0, y0, log2_size)
+        else:
+            self._inter_cu(x0, y0, log2_size)
+
+    # ------------------------------------------------------------------ intra
+    def _intra_cu(self, x0: int, y0: int, log2_size: int) -> None:
+        sps = self.sps
+        size = 1 << log2_size
         part_nxn = 0
         if log2_size == sps.log2_min_cb_size:
             want = (int(self.planner.part_nxn(x0, y0)) if self.is_enc else None)
-            # bin 1 = PART_2Nx2N, 0 = PART_NxN
             bin0 = self.io.flag("part_mode", 0,
                                 None if want is None else 1 - want)
             part_nxn = 1 - bin0
@@ -320,7 +401,6 @@ class CtuCoder:
         if self.is_enc:
             modes = list(self.planner.luma_modes(x0, y0))
             assert len(modes) == n_pu
-        # pass 1: all prev_intra_luma_pred_flags
         prev_flags = [0] * n_pu
         for i, (px, py) in enumerate(pus):
             if self.is_enc:
@@ -329,7 +409,6 @@ class CtuCoder:
                 self.io.flag("prev_intra_luma_pred_flag", 0, prev_flags[i])
             else:
                 prev_flags[i] = self.io.flag("prev_intra_luma_pred_flag", 0)
-        # pass 2: mpm_idx / rem_intra_luma_pred_mode (MPM derived at use time)
         for i, (px, py) in enumerate(pus):
             cands = self._mpm_for(i, pus, modes, x0, y0, size)
             if prev_flags[i]:
@@ -351,8 +430,7 @@ class CtuCoder:
                         if rem >= c:
                             rem += 1
                     modes[i] = rem
-            self._set_map(self.mode_map, px, py, pb, modes[i])
-        # chroma mode (one for the CU in 4:2:0)
+            self._set_map(self.mode_map, px, py, pb, v=modes[i])
         want_idx = (self.planner.chroma_mode_idx(x0, y0) if self.is_enc else None)
         bin0 = self.io.flag("intra_chroma_pred_mode", 0,
                             None if want_idx is None else int(want_idx != 4))
@@ -362,13 +440,15 @@ class CtuCoder:
             cidx = 4
         chroma_mode = self._chroma_mode_from_idx(cidx, modes[0])
 
-        self._set_map(self.plan.intra_map, x0, y0, size, 1)
-        self._set_map(self.plan.qp_map, x0, y0, size, self.sh.slice_qp)
+        self._set_map(self.plan.intra_map, x0, y0, size, v=1)
+        self._set_map(self.plan.qp_map, x0, y0, size, v=self.sh.slice_qp)
+        if self.plan.skip_map is not None:
+            self._set_map(self.plan.skip_map, x0, y0, size, v=0)
         self._set_edges(x0, y0, size)
         intra_split = part_nxn
         max_depth = sps.max_transform_hierarchy_depth_intra + intra_split
         self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0, modes, chroma_mode,
-                             intra_split, max_depth)
+                             bool(intra_split), max_depth, True)
         self._mark(x0, y0, size)
 
     def _mpm_for(self, i: int, pus, modes, x0: int, y0: int, cu_size: int):
@@ -378,13 +458,11 @@ class CtuCoder:
             if nx < 0 or ny < 0:
                 return None
             if is_above and (ny >> self.sps.log2_ctb_size) != (py >> self.sps.log2_ctb_size):
-                return None  # above neighbor outside current CTU row -> DC
+                return None
             if x0 <= nx < x0 + cu_size and y0 <= ny < y0 + cu_size:
-                # inside current CU: an earlier PU of this CU
                 pb = cu_size >> 1 if len(modes) > 1 else cu_size
                 j = (((ny - y0) // pb) << 1) | ((nx - x0) // pb)
-                m = modes[j] if j < len(modes) else None
-                return m
+                return modes[j] if j < len(modes) else None
             if not self._avail_at(nx, ny):
                 return None
             m = int(self.mode_map[ny >> 2, nx >> 2])
@@ -401,22 +479,225 @@ class CtuCoder:
         cand = (0, 26, 10, 1)[cidx]
         return 34 if cand == luma_mode else cand
 
+    # ------------------------------------------------------------------ inter
+    def _part_mode_inter(self, x0: int, y0: int, log2_size: int) -> str:
+        sps = self.sps
+        at_min = log2_size == sps.log2_min_cb_size
+        amp = sps.amp_enabled and not at_min
+        want = self.planner.inter_part(x0, y0) if self.is_enc else None
+
+        def bit(inc, b, bypass=False):
+            if bypass:
+                return self.io.bypass(b if self.is_enc else None)
+            return self.io.flag("part_mode", inc, b if self.is_enc else None)
+
+        if bit(0, int(want == "2Nx2N") if want else None):
+            return "2Nx2N"
+        horiz = bit(1, int(want in ("2NxN", "2NxnU", "2NxnD")) if want else None)
+        if not at_min:
+            if amp:
+                plain = bit(3, int(want in ("2NxN", "Nx2N")) if want else None)
+                if plain:
+                    return "2NxN" if horiz else "Nx2N"
+                second = bit(0, int(want in ("2NxnD", "nRx2N")) if want else None,
+                             bypass=True)
+                if horiz:
+                    return "2NxnD" if second else "2NxnU"
+                return "nRx2N" if second else "nLx2N"
+            return "2NxN" if horiz else "Nx2N"
+        if horiz:
+            return "2NxN"
+        if log2_size == 3:
+            return "Nx2N"  # inter NxN forbidden for 8x8 CUs
+        third = bit(2, int(want == "Nx2N") if want else None)
+        return "Nx2N" if third else "NxN"
+
+    def _inter_cu(self, x0: int, y0: int, log2_size: int) -> None:
+        sps = self.sps
+        size = 1 << log2_size
+        part = self._part_mode_inter(x0, y0, log2_size)
+        rects = pu_rects(part, x0, y0, size)
+        merge0 = False
+        for i, (px, py, w, h) in enumerate(rects):
+            m = self._prediction_unit(px, py, w, h, i, part, x0, y0, log2_size,
+                                      merge_only=False)
+            if i == 0:
+                merge0 = m
+            self._set_edges(px, py, w, h)
+        self._set_map(self.plan.intra_map, x0, y0, size, v=0)
+        self._set_map(self.plan.qp_map, x0, y0, size, v=self.sh.slice_qp)
+        self._set_map(self.plan.skip_map, x0, y0, size, v=0)
+        self._set_map(self.mode_map, x0, y0, size, v=-1)
+        self._set_edges(x0, y0, size)
+        rqt_root = 1
+        if not (part == "2Nx2N" and merge0):
+            want = (int(self.planner.rqt_root(x0, y0)) if self.is_enc else None)
+            rqt_root = self.io.flag("rqt_root_cbf", 0, want)
+        if rqt_root:
+            max_depth = sps.max_transform_hierarchy_depth_inter
+            inter_split = max_depth == 0 and part != "2Nx2N"
+            self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0, None, -1,
+                                 inter_split, max_depth, False)
+        else:
+            self._emit_inter_pred_only(x0, y0, size)
+        self._mark(x0, y0, size)
+
+    def _emit_inter_pred_only(self, x0: int, y0: int, size: int) -> None:
+        """No-residual inter CU: emit pred_only TU records covering the CU so
+        the reconstruction pass writes MC prediction and availability in
+        z-order."""
+        qp = self.sh.slice_qp
+        recs = [(x0, y0, (size).bit_length() - 1, 0),
+                (x0 >> 1, y0 >> 1, (size >> 1).bit_length() - 1, 1),
+                (x0 >> 1, y0 >> 1, (size >> 1).bit_length() - 1, 2)]
+        for (x, y, log2, c) in recs:
+            self._pred_only(x, y, log2, c, -1, qp, is_inter=True)
+        self._set_map(self.plan.cbf_map, x0, y0, size, v=0)
+
+    def _prediction_unit(self, x: int, y: int, w: int, h: int, part_idx: int,
+                         part: str, x_cu: int, y_cu: int, cu_log2: int,
+                         merge_only: bool) -> bool:
+        sh = self.sh
+        mctx = self.mctx
+        is_b = sh.slice_type == SLICE_B
+        pu_plan = self.planner.pu(x, y) if self.is_enc else None
+        if merge_only:
+            merge = 1
+        else:
+            merge = self.io.flag("merge_flag", 0,
+                                 int(pu_plan["merge"]) if self.is_enc else None)
+        if merge:
+            midx = 0
+            c_max = sh.max_num_merge_cand - 1
+            if c_max > 0:
+                v = pu_plan["merge_idx"] if self.is_enc else None
+                bin0 = self.io.flag("merge_idx", 0,
+                                    None if v is None else int(v > 0))
+                if bin0:
+                    midx = 1 + self.io.tr_bypass(
+                        c_max - 1, None if v is None else v - 1)
+            cands = derive_merge_list(mctx, x_cu, y_cu, 1 << cu_log2, x, y,
+                                      w, h, part, part_idx,
+                                      sh.max_num_merge_cand)
+            motion = cands[midx].copy()
+        else:
+            if is_b:
+                if w + h != 12:
+                    ct_depth = self.sps.log2_ctb_size - cu_log2
+                    want = pu_plan["inter_dir"] if self.is_enc else None
+                    b0 = self.io.flag("inter_pred_idc", ct_depth,
+                                      None if want is None else int(want == 2))
+                    if b0:
+                        idc = 2
+                    else:
+                        b1 = self.io.flag("inter_pred_idc", 4,
+                                          None if want is None else int(want == 1))
+                        idc = 1 if b1 else 0
+                else:
+                    want = pu_plan["inter_dir"] if self.is_enc else None
+                    b = self.io.flag("inter_pred_idc", 4,
+                                     None if want is None else int(want == 1))
+                    idc = 1 if b else 0
+            else:
+                idc = 0
+            motion = Motion()
+            for lx in (0, 1):
+                if (idc == 0 and lx == 1) or (idc == 1 and lx == 0):
+                    continue
+                n_ref = (sh.num_ref_idx_l0_active if lx == 0
+                         else sh.num_ref_idx_l1_active)
+                ridx = self._ref_idx_syntax(
+                    n_ref, pu_plan["ref_idx"][lx] if self.is_enc else None)
+                if lx == 1 and sh.mvd_l1_zero and idc == 2:
+                    mvd = (0, 0)
+                else:
+                    mvd = self._mvd_coding(
+                        pu_plan["mvd"][lx] if self.is_enc else None)
+                mvp = self.io.flag(
+                    "mvp_flag", 0,
+                    pu_plan["mvp_flag"][lx] if self.is_enc else None)
+                amvp = derive_amvp(mctx, x, y, w, h, lx, ridx)
+                mv = (wrap_mv(amvp[mvp][0] + mvd[0]),
+                      wrap_mv(amvp[mvp][1] + mvd[1]))
+                motion.mv[lx] = mv
+                motion.ref_idx[lx] = ridx
+                motion.ref_poc[lx] = mctx.list_pocs[lx][ridx]
+        mctx.store_pu(x, y, w, h, motion)
+        rec = PuRec(x, y, w, h, motion)
+        if self.is_enc:
+            planned = next(self._pu_iter)
+            assert planned.motion.same_motion(motion), (
+                "encoder planning / serialization motion drift",
+                (x, y, w, h), planned.motion, motion)
+        else:
+            self.plan.pus.append(rec)
+        return bool(merge)
+
+    def _ref_idx_syntax(self, n_ref: int, value: int | None) -> int:
+        """ref_idx_lX: TR cMax=n_ref-1; bins 0,1 context-coded, rest bypass."""
+        c_max = n_ref - 1
+        if c_max == 0:
+            return 0
+        v = 0
+        while v < c_max:
+            b = (int(value > v) if self.is_enc else None)
+            if v < 2:
+                got = self.io.flag("ref_idx", v, b)
+            else:
+                got = self.io.bypass(b)
+            if not got:
+                break
+            v += 1
+        return v
+
+    def _mvd_coding(self, value: tuple[int, int] | None) -> tuple[int, int]:
+        """mvd_coding (spec 7.3.8.9)."""
+        ax = abs(value[0]) if self.is_enc else None
+        ay = abs(value[1]) if self.is_enc else None
+        g0x = self.io.flag("abs_mvd_greater_flag", 0,
+                           None if ax is None else int(ax > 0))
+        g0y = self.io.flag("abs_mvd_greater_flag", 0,
+                           None if ay is None else int(ay > 0))
+        g1x = g1y = 0
+        if g0x:
+            g1x = self.io.flag("abs_mvd_greater_flag", 1,
+                               None if ax is None else int(ax > 1))
+        if g0y:
+            g1y = self.io.flag("abs_mvd_greater_flag", 1,
+                               None if ay is None else int(ay > 1))
+        out = []
+        for g0, g1, av, sv in ((g0x, g1x, ax, value[0] if value else None),
+                               (g0y, g1y, ay, value[1] if value else None)):
+            if not g0:
+                out.append(0)
+                continue
+            mag = 1
+            if g1:
+                rem = self.io.eg_bypass(1, None if av is None else av - 2)
+                mag = 2 + rem
+            sgn = self.io.bypass(None if sv is None else int(sv < 0))
+            if not self.is_enc:
+                out.append(-mag if sgn else mag)
+            else:
+                out.append(sv)
+        return (out[0], out[1])
+
     # -- transform tree (spec 7.3.8.8) ---------------------------------------
     def _transform_tree(self, x0, y0, x_base, y_base, log2_size, depth, blk_idx,
-                        modes, chroma_mode, intra_split, max_depth,
+                        modes, chroma_mode, split0, max_depth, is_intra,
                         parent_cbf=(1, 1)):
         sps = self.sps
         size = 1 << log2_size
         if (log2_size <= sps.log2_max_tb_size
                 and log2_size > sps.log2_min_tb_size
                 and depth < max_depth
-                and not (intra_split and depth == 0)):
+                and not (split0 and depth == 0)):
             want = (int(self.planner.tt_split(x0, y0, log2_size, depth))
                     if self.is_enc else None)
             split = self.io.flag("split_transform_flag", 5 - log2_size, want)
         else:
             split = int(log2_size > sps.log2_max_tb_size
-                        or (intra_split and depth == 0))
+                        or (split0 and depth == 0))
         cbf_cb, cbf_cr = parent_cbf
         if log2_size > 2:
             if cbf_cb:
@@ -432,31 +713,40 @@ class CtuCoder:
             for i, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half), (half, half))):
                 self._transform_tree(x0 + dx, y0 + dy, x0, y0, log2_size - 1,
                                      depth + 1, i, modes, chroma_mode,
-                                     intra_split, max_depth,
+                                     split0, max_depth, is_intra,
                                      parent_cbf=(cbf_cb, cbf_cr))
             return
-        # leaf
-        want = (int(self.planner.cbf(x0, y0, log2_size, 0)) if self.is_enc else None)
-        cbf_luma = self.io.flag("cbf_luma", int(depth == 0), want)
+        # leaf: cbf_luma (inferred 1 for inter depth-0 with no chroma cbf)
+        if is_intra or depth != 0 or cbf_cb or cbf_cr:
+            want = (int(self.planner.cbf(x0, y0, log2_size, 0))
+                    if self.is_enc else None)
+            cbf_luma = self.io.flag("cbf_luma", int(depth == 0), want)
+        else:
+            cbf_luma = 1
         self._transform_unit(x0, y0, x_base, y_base, log2_size, depth, blk_idx,
-                             modes, chroma_mode, cbf_luma, cbf_cb, cbf_cr)
+                             modes, chroma_mode, cbf_luma, cbf_cb, cbf_cr,
+                             is_intra)
 
     # -- transform unit (spec 7.3.8.10) --------------------------------------
     def _transform_unit(self, x0, y0, x_base, y_base, log2_size, depth, blk_idx,
-                        modes, chroma_mode, cbf_luma, cbf_cb, cbf_cr):
-        # luma mode covering this TU: PU index via blk_idx at depth 1 for NxN
-        if len(modes) == 1:
-            lmode = modes[0]
+                        modes, chroma_mode, cbf_luma, cbf_cb, cbf_cr, is_intra):
+        if is_intra:
+            if len(modes) == 1:
+                lmode = modes[0]
+            else:
+                assert depth >= 1
+                lmode = modes[blk_idx] if depth == 1 else modes[0]
         else:
-            assert depth >= 1
-            lmode = modes[blk_idx] if depth == 1 else modes[0]
+            lmode = None
         qp = self.sh.slice_qp
         if cbf_luma:
-            scan = residual_scan_idx(lmode, log2_size, 0)
-            self._code_residual(x0, y0, log2_size, 0, scan, lmode, qp)
+            scan = residual_scan_idx(lmode if is_intra else None, log2_size, 0)
+            self._code_residual(x0, y0, log2_size, 0, scan,
+                                lmode if is_intra else -1, qp, not is_intra)
         else:
-            self._pred_only(x0, y0, log2_size, 0, lmode, qp)
-        self._set_map(self.plan.cbf_map, x0, y0, 1 << log2_size, int(cbf_luma))
+            self._pred_only(x0, y0, log2_size, 0,
+                            lmode if is_intra else -1, qp, not is_intra)
+        self._set_map(self.plan.cbf_map, x0, y0, 1 << log2_size, v=int(cbf_luma))
         self._set_edges(x0, y0, 1 << log2_size)
         if log2_size > 2:
             do_chroma, cx, cy, clog2 = True, x0 >> 1, y0 >> 1, log2_size - 1
@@ -467,12 +757,17 @@ class CtuCoder:
         if do_chroma:
             for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
                 if cbf:
-                    scan = residual_scan_idx(chroma_mode, clog2, c_idx)
-                    self._code_residual(cx, cy, clog2, c_idx, scan, chroma_mode, qp)
+                    scan = residual_scan_idx(
+                        chroma_mode if is_intra else None, clog2, c_idx)
+                    self._code_residual(cx, cy, clog2, c_idx, scan,
+                                        chroma_mode if is_intra else -1, qp,
+                                        not is_intra)
                 else:
-                    self._pred_only(cx, cy, clog2, c_idx, chroma_mode, qp)
+                    self._pred_only(cx, cy, clog2, c_idx,
+                                    chroma_mode if is_intra else -1, qp,
+                                    not is_intra)
 
-    def _pred_only(self, x, y, log2, c_idx, mode, qp) -> None:
+    def _pred_only(self, x, y, log2, c_idx, mode, qp, is_inter=False) -> None:
         if self.is_enc:
             got = next(self._tu_iter)
             assert got.pred_only and (got.x, got.y, got.log2, got.c_idx) == \
@@ -481,9 +776,11 @@ class CtuCoder:
                                       (x, y, log2, c_idx))
         else:
             self.plan.tus.append(
-                TuRec(x, y, log2, c_idx, mode, None, qp=qp, pred_only=True))
+                TuRec(x, y, log2, c_idx, mode, None, qp=qp, pred_only=True,
+                      is_inter=is_inter))
 
-    def _code_residual(self, x, y, log2, c_idx, scan, mode, qp) -> None:
+    def _code_residual(self, x, y, log2, c_idx, scan, mode, qp,
+                       is_inter=False) -> None:
         pps = self.pps
         if self.is_enc:
             tu = next(self._tu_iter)
@@ -500,11 +797,12 @@ class CtuCoder:
                 self.engine, log2, c_idx, scan,
                 transform_skip_allowed=pps.transform_skip_enabled,
                 sign_data_hiding=pps.sign_data_hiding, tq_bypass=False)
-            self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, levels, tskip, qp))
+            self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, levels, tskip,
+                                       qp, is_inter=is_inter))
 
 
-def parse_slice_data(dec: CabacDecoder, sps: SPS, pps: PPS, sh: SliceHeader
-                     ) -> FramePlan:
+def parse_slice_data(dec, sps: SPS, pps: PPS, sh: SliceHeader,
+                     mctx: MotionCtx | None = None) -> FramePlan:
     plan = FramePlan(sps, pps, sh)
-    CtuCoder(dec, sps, pps, sh, plan, is_enc=False).code_slice_data()
+    CtuCoder(dec, sps, pps, sh, plan, is_enc=False, mctx=mctx).code_slice_data()
     return plan

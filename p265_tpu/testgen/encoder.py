@@ -1,13 +1,14 @@
-"""Minimal conformant HEVC intra encoder (testgen).
+"""Minimal conformant HEVC encoder (testgen): IDR intra + low-delay P GOPs.
 
-Purpose (SURVEY.md 4.2): there are no conformance streams or reference
-encoders in this environment, so this encoder produces the legal Main-profile
-bitstreams every other component is tested against.  It needs to be
-*conformant and varied*, not good: mode decisions use SAD; split decisions mix
-a seeded RNG (syntax coverage) with picture-boundary rules.
+Purpose (SURVEY.md 4.2): no conformance streams or reference encoders exist in
+this environment, so this encoder produces the legal Main-profile bitstreams
+everything else is tested against.  It must be conformant and varied, not
+good: SAD mode decisions, small-range motion search, seeded-RNG structure
+choices for syntax coverage.
 
-Round-trip contract: decode(encode(img)).recon == encoder's own recon,
-bit-exact, because the encoder reconstructs through the same golden ops.
+Round-trip contract: decode(encode(imgs)) == encoder's own recon, bit-exact,
+because the encoder reconstructs through the same golden ops and derives
+motion through the same golden/mv.py code as the decoder.
 """
 from __future__ import annotations
 
@@ -16,7 +17,11 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from p265_tpu.entropy.engine import CabacEncoder, ContextModels
+from p265_tpu.golden.decoder import apply_loop_filters
+from p265_tpu.golden.inter import combine_bi, combine_uni, mc_chroma, mc_luma
 from p265_tpu.golden.intra import intra_predict_tu
+from p265_tpu.golden.mv import (Motion, MotionCtx, NO_REF, derive_amvp,
+                                derive_merge_list)
 from p265_tpu.golden.recon import tu_qp
 from p265_tpu.golden.transform import (dequant, forward_transform,
                                        inverse_transform, quantize,
@@ -24,9 +29,12 @@ from p265_tpu.golden.transform import (dequant, forward_transform,
                                        transform_skip_residual)
 from p265_tpu.hls import nal
 from p265_tpu.hls.bitio import BitWriter
-from p265_tpu.hls.params import PPS, SPS, write_pps, write_sps, write_vps
-from p265_tpu.hls.slice_header import SLICE_I, SliceHeader, write_slice_header
-from p265_tpu.syntax.ctu import CtuCoder, FramePlan, SaoRec, TuRec
+from p265_tpu.hls.params import (PPS, SPS, ShortTermRPS, write_pps, write_sps,
+                                 write_vps)
+from p265_tpu.hls.slice_header import (SLICE_B, SLICE_I, SLICE_P, SliceHeader,
+                                       write_slice_header)
+from p265_tpu.syntax.ctu import (CtuCoder, FramePlan, PuRec, SaoRec, TuRec,
+                                 pu_rects, wrap_mv)
 from p265_tpu.syntax.residual import apply_sign_data_hiding
 from p265_tpu.tables import residual_scan_idx
 
@@ -40,6 +48,11 @@ class EncPlanner:
     chroma_idxs: dict = field(default_factory=dict)
     tt_splits: dict = field(default_factory=dict)
     cbfs: dict = field(default_factory=dict)
+    cu_skips: dict = field(default_factory=dict)
+    pred_modes: dict = field(default_factory=dict)   # (x,y) -> intra?
+    inter_parts: dict = field(default_factory=dict)
+    pu_plans: dict = field(default_factory=dict)     # (x,y) -> dict
+    rqt_roots: dict = field(default_factory=dict)
 
     def cu_split(self, x0, y0, log2, depth):
         return self.cu_splits[(x0, y0, log2)]
@@ -59,19 +72,44 @@ class EncPlanner:
     def cbf(self, x, y, log2, c_idx):
         return self.cbfs[(x, y, log2, c_idx)]
 
+    def cu_skip(self, x0, y0):
+        return self.cu_skips[(x0, y0)]
 
-class IntraEncoder:
+    def pred_mode_intra(self, x0, y0):
+        return self.pred_modes[(x0, y0)]
+
+    def inter_part(self, x0, y0):
+        return self.inter_parts[(x0, y0)]
+
+    def pu(self, x, y):
+        return self.pu_plans[(x, y)]
+
+    def rqt_root(self, x0, y0):
+        return self.rqt_roots[(x0, y0)]
+
+
+@dataclass
+class _RefPic:
+    poc: int
+    planes: list            # post-filter
+    col_mv: np.ndarray
+    col_ref_poc: np.ndarray
+
+
+class Encoder:
     def __init__(self, sps: SPS, pps: PPS, qp: int = 32, seed: int = 0,
                  full_mode_search: bool = False):
         self.sps, self.pps, self.qp = sps, pps, qp
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.full_search = full_mode_search
+        self.refs: list[_RefPic] = []
 
     # -- public --------------------------------------------------------------
-    def encode_frame(self, yuv: list[np.ndarray]) -> tuple[bytes, FramePlan,
-                                                           list[np.ndarray]]:
-        """-> (annexb_stream_bytes incl. VPS/SPS/PPS, plan, prefilter_recon)."""
+    def encode_frame(self, yuv, *, poc: int = 0, slice_type: int = SLICE_I,
+                     ref_pocs: tuple[list[int], list[int]] = ([], [])):
+        """Encode one frame -> (nal_bytes, plan, prefilter_recon, filtered)."""
         sps, pps = self.sps, self.pps
+        self.rng = np.random.default_rng(self.seed + poc * 1031)
         self.orig = [p.astype(np.int32) for p in yuv]
         w, h = sps.pic_width, sps.pic_height
         cw, ch = w >> 1, h >> 1
@@ -82,19 +120,43 @@ class IntraEncoder:
                       np.zeros(((ch + 3) >> 2, (cw + 3) >> 2), bool),
                       np.zeros(((ch + 3) >> 2, (cw + 3) >> 2), bool)]
 
-        sh = SliceHeader(nal_type=nal.NAL_IDR_W_RADL, slice_type=SLICE_I,
-                         slice_qp=self.qp,
-                         sao_luma=sps.sao_enabled, sao_chroma=sps.sao_enabled)
-        # effective deblock params inherit from PPS (no slice override here)
+        is_idr = slice_type == SLICE_I
+        sh = SliceHeader(
+            nal_type=nal.NAL_IDR_W_RADL if is_idr else nal.NAL_TRAIL_R,
+            slice_type=slice_type, slice_qp=self.qp,
+            sao_luma=sps.sao_enabled, sao_chroma=sps.sao_enabled,
+            pic_order_cnt_lsb=poc & (sps.max_poc_lsb - 1),
+            temporal_mvp_enabled=(sps.temporal_mvp_enabled and not is_idr))
         sh.deblocking_filter_disabled = pps.deblocking_filter_disabled
         sh.beta_offset_div2 = pps.beta_offset_div2
         sh.tc_offset_div2 = pps.tc_offset_div2
+        l0_pocs, l1_pocs = ref_pocs
+        sh.num_ref_idx_l0_active = max(1, len(l0_pocs))
+        sh.num_ref_idx_l1_active = max(1, len(l1_pocs))
+        if not is_idr:
+            # explicit RPS describing exactly our reference set
+            rps = ShortTermRPS(
+                delta_poc_s0=[p - poc for p in sorted(
+                    (p for p in l0_pocs if p < poc), reverse=True)],
+                used_s0=[1] * len([p for p in l0_pocs if p < poc]),
+                delta_poc_s1=[p - poc for p in sorted(
+                    p for p in l1_pocs if p > poc)],
+                used_s1=[1] * len([p for p in l1_pocs if p > poc]))
+            sh.st_rps_explicit = rps
+            sh.st_rps_sps_flag = False
+
         plan = FramePlan(sps, pps, sh)
         plan.alloc_maps()
+        plan.poc = poc
+        plan.l0_pocs = list(l0_pocs)
+        plan.l1_pocs = list(l1_pocs)
         self.plan = plan
         self.planner = EncPlanner()
+        self.sh = sh
+        self.slice_type = slice_type
+        self.ref_by_poc = {r.poc: r for r in self.refs}
+        self.mctx = self._make_mctx(sh, poc, l0_pocs, l1_pocs)
 
-        # plan all CTUs (greedy, recon interleaved)
         for ctb_addr in range(sps.num_ctbs):
             xc = (ctb_addr % sps.pic_width_ctbs) << sps.log2_ctb_size
             yc = (ctb_addr // sps.pic_width_ctbs) << sps.log2_ctb_size
@@ -102,42 +164,95 @@ class IntraEncoder:
                 plan.sao.append(self._plan_sao(ctb_addr))
             self._plan_cq(xc, yc, sps.log2_ctb_size, 0)
 
-        stream = self._serialize(plan, sh)
-        return stream, plan, self.rec
+        nal_bytes = self._serialize(plan, sh, poc, l0_pocs, l1_pocs)
+        prefilter = [p.copy() for p in self.rec]
+        filtered = apply_loop_filters(plan, [p.copy() for p in self.rec])
+        # register as reference for future frames
+        if self.mctx is not None:
+            col_mv = self.mctx.mv[::4, ::4].copy()
+            col_rp = self.mctx.ref_poc[::4, ::4].copy()
+        else:
+            h16, w16 = (h + 15) >> 4, (w + 15) >> 4
+            col_mv = np.zeros((h16, w16, 2, 2), np.int32)
+            col_rp = np.full((h16, w16, 2), NO_REF, np.int32)
+        self.refs.append(_RefPic(poc, filtered, col_mv, col_rp))
+        return nal_bytes, plan, prefilter, filtered
 
-    # -- SAO planning: keep syntax varied but start simple -------------------
+    def _make_mctx(self, sh, poc, l0_pocs, l1_pocs):
+        if sh.slice_type == SLICE_I:
+            return None
+        sps = self.sps
+        col_mv = col_rp = None
+        col_poc = None
+        if sh.temporal_mvp_enabled:
+            col_pocs = l0_pocs if sh.collocated_from_l0 else l1_pocs
+            col = self.ref_by_poc[col_pocs[sh.collocated_ref_idx]]
+            col_mv, col_rp, col_poc = col.col_mv, col.col_ref_poc, col.poc
+        h4 = (sps.pic_height + 3) >> 2
+        w4 = (sps.pic_width + 3) >> 2
+        m = MotionCtx(sps, sh, poc, list(l0_pocs), list(l1_pocs), (h4, w4),
+                      col_mv=col_mv, col_ref_poc=col_rp, col_poc=col_poc)
+        m.avail = lambda x, y: (0 <= x < sps.pic_width
+                                and 0 <= y < sps.pic_height
+                                and bool(self.avail[0][y >> 2, x >> 2]))
+        m.intra_map = self.plan.intra_map
+        return m
+
+    def encode_sequence(self, frames, structure: str = "LDP"):
+        """Encode a GOP: frame 0 IDR, rest P referencing the previous frame
+        (LDP) or the two nearest (LDP2).  Returns (stream, recon list in
+        decode order)."""
+        w = BitWriter()
+        write_vps(w)
+        out = nal.make_nal(nal.NAL_VPS, w.get_bytes())
+        w = BitWriter()
+        write_sps(w, self.sps)
+        out += nal.make_nal(nal.NAL_SPS, w.get_bytes())
+        w = BitWriter()
+        write_pps(w, self.pps)
+        out += nal.make_nal(nal.NAL_PPS, w.get_bytes())
+        recons = []
+        for i, f in enumerate(frames):
+            if i == 0:
+                nb, _, _, filt = self.encode_frame(f, poc=0, slice_type=SLICE_I)
+            else:
+                n_refs = 2 if structure == "LDP2" else 1
+                l0 = [i - k for k in range(1, min(i, n_refs) + 1)]
+                nb, _, _, filt = self.encode_frame(
+                    f, poc=i, slice_type=SLICE_P, ref_pocs=(l0, []))
+            out += nb
+            recons.append(filt)
+        return out, recons
+
+    # -- SAO planning --------------------------------------------------------
     def _plan_sao(self, ctb_addr: int) -> SaoRec:
         rec = SaoRec()
         r = self.rng.random()
         if ctb_addr % self.sps.pic_width_ctbs != 0 and r < 0.15:
             rec.merge_left = True
             src = self.plan.sao[ctb_addr - 1]
-            rec.type = list(src.type)
-            rec.cls = list(src.cls)
+            rec.type, rec.cls = list(src.type), list(src.cls)
             rec.offsets = [list(o) for o in src.offsets]
             return rec
         if ctb_addr >= self.sps.pic_width_ctbs and r < 0.25:
             rec.merge_up = True
             src = self.plan.sao[ctb_addr - self.sps.pic_width_ctbs]
-            rec.type = list(src.type)
-            rec.cls = list(src.cls)
+            rec.type, rec.cls = list(src.type), list(src.cls)
             rec.offsets = [list(o) for o in src.offsets]
             return rec
         for c in range(3):
             t = int(self.rng.integers(0, 3))
             if c == 2:
-                t = rec.type[1]  # type shared with cb
+                t = rec.type[1]
             rec.type[c] = t
-            if t == 1:  # band
+            if t == 1:
                 rec.offsets[c] = [int(v) for v in self.rng.integers(-7, 8, 4)]
                 rec.cls[c] = int(self.rng.integers(0, 29))
-            elif t == 2:  # edge
+            elif t == 2:
                 mags = [int(v) for v in self.rng.integers(0, 8, 4)]
                 rec.offsets[c] = [mags[0], mags[1], -mags[2], -mags[3]]
-                rec.cls[c] = (int(self.rng.integers(0, 4)) if c < 2 else rec.cls[1])
-                if c == 1:
-                    pass
-        rec.cls[2] = rec.cls[1] if rec.type[2] == 2 else rec.cls[2]
+                rec.cls[c] = (int(self.rng.integers(0, 4)) if c < 2
+                              else rec.cls[1])
         return rec
 
     # -- CU quadtree planning ------------------------------------------------
@@ -161,6 +276,15 @@ class IntraEncoder:
             return
         self._plan_cu(x0, y0, log2_size)
 
+    # -- CU planning ---------------------------------------------------------
+    def _plan_cu(self, x0, y0, log2_size):
+        if self.slice_type == SLICE_I:
+            self.planner.cu_skips[(x0, y0)] = False
+            self._plan_intra_cu(x0, y0, log2_size)
+            return
+        self._plan_pb_cu(x0, y0, log2_size)
+
+    # ---- intra -------------------------------------------------------------
     def _best_mode(self, c_idx, x, y, size, cand_modes):
         plane, avail = self.rec[c_idx], self.avail[c_idx]
         orig = self.orig[c_idx][y:y + size, x:x + size]
@@ -171,11 +295,12 @@ class IntraEncoder:
             cost = int(np.abs(orig - pred).sum())
             if best_cost is None or cost < best_cost:
                 best, best_cost = m, cost
-        return best
+        return best, best_cost
 
-    def _plan_cu(self, x0, y0, log2_size):
+    def _plan_intra_cu(self, x0, y0, log2_size):
         sps = self.sps
         size = 1 << log2_size
+        self.planner.pred_modes[(x0, y0)] = True
         part_nxn = False
         if log2_size == sps.log2_min_cb_size:
             part_nxn = bool(self.rng.random() < 0.4)
@@ -187,59 +312,269 @@ class IntraEncoder:
                 else sorted({0, 1, 10, 26, 2, 18, 34,
                              int(self.rng.integers(2, 35)),
                              int(self.rng.integers(2, 35))}))
-        # luma mode per PU decided lazily during TU processing would be ideal;
-        # decide now from current recon (PU0's refs exact; later PUs' refs
-        # approximate until their TUs recon -- decisions need not be optimal)
         modes = []
         for i in range(n_pu):
             px, py = x0 + (i & 1) * pb, y0 + (i >> 1) * pb
-            modes.append(self._best_mode(0, px, py, pb, cand))
+            modes.append(self._best_mode(0, px, py, pb, cand)[0])
         self.planner.modes[(x0, y0)] = modes
         cidx = 4 if self.rng.random() < 0.7 else int(self.rng.integers(0, 4))
         self.planner.chroma_idxs[(x0, y0)] = cidx
         chroma_mode = CtuCoder._chroma_mode_from_idx(cidx, modes[0])
 
+        self._set_intra_maps(x0, y0, size, modes, pb)
         intra_split = part_nxn
         max_depth = sps.max_transform_hierarchy_depth_intra + intra_split
         self._plan_tt(x0, y0, x0, y0, log2_size, 0, 0, modes, chroma_mode,
-                      intra_split, max_depth, pb)
+                      intra_split, max_depth, None)
 
+    def _set_intra_maps(self, x0, y0, size, modes, pb):
+        g = self.plan
+        x1 = min(x0 + size, self.sps.pic_width)
+        y1 = min(y0 + size, self.sps.pic_height)
+        g.intra_map[y0 >> 2:(y1 + 3) >> 2, x0 >> 2:(x1 + 3) >> 2] = 1
+        for i, m in enumerate(modes):
+            px, py = x0 + (i & 1) * pb, y0 + (i >> 1) * pb
+            g.intra_mode_map[py >> 2:(py + pb) >> 2, px >> 2:(px + pb) >> 2] = m
+
+    # ---- inter -------------------------------------------------------------
+    def _mc_pred_pu(self, m: Motion, x, y, w, h):
+        """MC prediction for a PU -> (luma, cb, cr) blocks."""
+        luma, cbs, crs = [], [], []
+        for lx in range(2):
+            if not m.uses(lx):
+                continue
+            ref = self.ref_by_poc[m.ref_poc[lx]].planes
+            mvx, mvy = m.mv[lx]
+            luma.append(mc_luma(ref[0], x, y, w, h, mvx, mvy))
+            cbs.append(mc_chroma(ref[1], x >> 1, y >> 1, w >> 1, h >> 1, mvx, mvy))
+            crs.append(mc_chroma(ref[2], x >> 1, y >> 1, w >> 1, h >> 1, mvx, mvy))
+        if len(luma) == 2:
+            return combine_bi(*luma), combine_bi(*cbs), combine_bi(*crs)
+        return combine_uni(luma[0]), combine_uni(cbs[0]), combine_uni(crs[0])
+
+    def _luma_mc_cost(self, ref_plane, x, y, w, h, mvx, mvy, orig):
+        pred = combine_uni(mc_luma(ref_plane, x, y, w, h, mvx, mvy))
+        return int(np.abs(orig - pred).sum())
+
+    def _motion_search(self, x, y, w, h, lx, ridx, starts):
+        """Small-range ME: full-pel around start candidates + quarter refine."""
+        ref = self.ref_by_poc[self.mctx.list_pocs[lx][ridx]].planes[0]
+        orig = self.orig[0][y:y + h, x:x + w]
+        # full-pel: clamp starts, search +-3 raster
+        best_mv, best_cost = (0, 0), None
+        tried = set()
+        for sx, sy in starts:
+            fx, fy = (sx >> 2) << 2, (sy >> 2) << 2
+            for dy in range(-3, 4):
+                for dx in range(-3, 4):
+                    mv = (fx + 4 * dx, fy + 4 * dy)
+                    if mv in tried:
+                        continue
+                    tried.add(mv)
+                    c = self._luma_mc_cost(ref, x, y, w, h, mv[0], mv[1], orig)
+                    if best_cost is None or c < best_cost:
+                        best_mv, best_cost = mv, c
+        # quarter-pel refine
+        improved = True
+        while improved:
+            improved = False
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    mv = (best_mv[0] + dx, best_mv[1] + dy)
+                    if mv in tried:
+                        continue
+                    tried.add(mv)
+                    c = self._luma_mc_cost(ref, x, y, w, h, mv[0], mv[1], orig)
+                    if c < best_cost:
+                        best_mv, best_cost = mv, c
+                        improved = True
+        return best_mv, best_cost
+
+    def _plan_pb_cu(self, x0, y0, log2_size):
+        sps, sh = self.sps, self.sh
+        size = 1 << log2_size
+        orig_y = self.orig[0][y0:y0 + size, x0:x0 + size]
+
+        # --- candidate A: 2Nx2N merge ---
+        merge_cands = derive_merge_list(self.mctx, x0, y0, size, x0, y0,
+                                        size, size, "2Nx2N", 0,
+                                        sh.max_num_merge_cand)
+        best_midx, best_mcost = 0, None
+        for i, mc in enumerate(merge_cands):
+            py_, _, _ = self._mc_pred_pu(mc, x0, y0, size, size)
+            c = int(np.abs(orig_y - py_).sum())
+            if best_mcost is None or c < best_mcost:
+                best_midx, best_mcost = i, c
+
+        # --- candidate B: 2Nx2N AMVP (L0 ref 0) ---
+        amvp = derive_amvp(self.mctx, x0, y0, size, size, 0, 0)
+        mv, me_cost = self._motion_search(
+            x0, y0, size, size, 0, 0, [amvp[0], amvp[1], (0, 0)])
+        me_cost += 20  # crude bit-cost penalty vs merge
+
+        # --- candidate C: intra ---
+        cand_modes = sorted({0, 1, 10, 26, int(self.rng.integers(2, 35))})
+        best_imode, icost = self._best_mode(0, x0, y0, size, cand_modes)
+        icost += 30
+
+        choice = min((("merge", best_mcost), ("amvp", me_cost),
+                      ("intra", icost)), key=lambda kv: kv[1])[0]
+        if self.rng.random() < 0.06:
+            choice = "intra"  # coverage: occasional intra in P
+
+        if choice == "intra":
+            self.planner.cu_skips[(x0, y0)] = False
+            self._plan_intra_cu(x0, y0, log2_size)
+            return
+
+        # occasionally exercise 2-PU partitions with AMVP per PU
+        part = "2Nx2N"
+        if choice == "amvp" and size <= 32 and self.rng.random() < 0.3:
+            part = "2NxN" if self.rng.random() < 0.5 else "Nx2N"
+
+        self.planner.pred_modes[(x0, y0)] = False
+        self.planner.inter_parts[(x0, y0)] = part
+        rects = pu_rects(part, x0, y0, size)
+        motions = []
+        for i, (px, py, w, h) in enumerate(rects):
+            if choice == "merge" and part == "2Nx2N":
+                m = merge_cands[best_midx].copy()
+                self.planner.pu_plans[(px, py)] = {
+                    "merge": True, "merge_idx": best_midx}
+            else:
+                cands = derive_merge_list(self.mctx, x0, y0, size, px, py,
+                                          w, h, part, i, sh.max_num_merge_cand)
+                amvp = derive_amvp(self.mctx, px, py, w, h, 0, 0)
+                mv, cost = self._motion_search(px, py, w, h, 0, 0,
+                                               [amvp[0], amvp[1], (0, 0)])
+                use_merge = False
+                for ci, mc in enumerate(cands):
+                    if (mc.uses(0) and not mc.uses(1) and mc.mv[0] == mv
+                            and mc.ref_idx[0] == 0):
+                        use_merge = True
+                        self.planner.pu_plans[(px, py)] = {
+                            "merge": True, "merge_idx": ci}
+                        m = mc.copy()
+                        break
+                if not use_merge:
+                    mvp_flag = 0
+                    d0 = (abs(mv[0] - amvp[0][0]) + abs(mv[1] - amvp[0][1]))
+                    d1 = (abs(mv[0] - amvp[1][0]) + abs(mv[1] - amvp[1][1]))
+                    if d1 < d0:
+                        mvp_flag = 1
+                    mvd = (mv[0] - amvp[mvp_flag][0], mv[1] - amvp[mvp_flag][1])
+                    m = Motion()
+                    m.mv[0] = (wrap_mv(amvp[mvp_flag][0] + mvd[0]),
+                               wrap_mv(amvp[mvp_flag][1] + mvd[1]))
+                    m.ref_idx[0] = 0
+                    m.ref_poc[0] = self.mctx.list_pocs[0][0]
+                    self.planner.pu_plans[(px, py)] = {
+                        "merge": False, "inter_dir": 0, "ref_idx": [0, 0],
+                        "mvd": [mvd, (0, 0)], "mvp_flag": [mvp_flag, 0]}
+            self.mctx.store_pu(px, py, w, h, m)
+            motions.append(m)
+            self.plan.pus.append(PuRec(px, py, w, h, m))
+
+        # prediction + residual planning
+        pred = [np.zeros((size, size), np.int32),
+                np.zeros((size >> 1, size >> 1), np.int32),
+                np.zeros((size >> 1, size >> 1), np.int32)]
+        for (px, py, w, h), m in zip(rects, motions):
+            py_, pcb, pcr = self._mc_pred_pu(m, px, py, w, h)
+            pred[0][py - y0:py - y0 + h, px - x0:px - x0 + w] = py_
+            pred[1][(py - y0) >> 1:((py - y0) + h) >> 1,
+                    (px - x0) >> 1:((px - x0) + w) >> 1] = pcb
+            pred[2][(py - y0) >> 1:((py - y0) + h) >> 1,
+                    (px - x0) >> 1:((px - x0) + w) >> 1] = pcr
+        self._pred_cu = (x0, y0, pred)
+
+        g = self.plan
+        x1 = min(x0 + size, sps.pic_width)
+        y1 = min(y0 + size, sps.pic_height)
+        g.intra_map[y0 >> 2:(y1 + 3) >> 2, x0 >> 2:(x1 + 3) >> 2] = 0
+        g.intra_mode_map[y0 >> 2:(y1 + 3) >> 2, x0 >> 2:(x1 + 3) >> 2] = -1
+
+        # TU planning: collect records, detect all-zero
+        max_depth = sps.max_transform_hierarchy_depth_inter
+        inter_split = max_depth == 0 and part != "2Nx2N"
+        tus_before = len(self.plan.tus)
+        cbf_before = dict(self.planner.cbfs)
+        self._plan_tt(x0, y0, x0, y0, log2_size, 0, 0, None, -1,
+                      inter_split, max_depth, pred)
+        new_tus = self.plan.tus[tus_before:]
+        any_cbf = any(not t.pred_only for t in new_tus)
+        is_merge_2n = part == "2Nx2N" and self.planner.pu_plans[
+            (x0, y0)].get("merge", False)
+        if not any_cbf:
+            # drop TU records; encode as skip (merge 2Nx2N) or rqt_root_cbf=0
+            del self.plan.tus[tus_before:]
+            self.planner.cbfs = cbf_before
+            self._emit_pred_only_cu(x0, y0, size, pred)
+            if is_merge_2n:
+                self.planner.cu_skips[(x0, y0)] = True
+                # skip CUs carry no pred_mode/part entries
+                del self.planner.pred_modes[(x0, y0)]
+                del self.planner.inter_parts[(x0, y0)]
+            else:
+                self.planner.cu_skips[(x0, y0)] = False
+                self.planner.rqt_roots[(x0, y0)] = False
+        else:
+            self.planner.cu_skips[(x0, y0)] = False
+            self.planner.rqt_roots[(x0, y0)] = True
+            if is_merge_2n:
+                pass  # rqt_root_cbf inferred 1 for 2Nx2N merge
+
+    def _emit_pred_only_cu(self, x0, y0, size, pred):
+        """Write MC prediction as recon; emit CU-covering pred_only records."""
+        log2 = size.bit_length() - 1
+        for (c, px, py, plog2) in ((0, x0, y0, log2),
+                                   (1, x0 >> 1, y0 >> 1, log2 - 1),
+                                   (2, x0 >> 1, y0 >> 1, log2 - 1)):
+            psz = 1 << plog2
+            self.rec[c][py:py + psz, px:px + psz] = pred[c]
+            self.avail[c][py >> 2:(py + psz) >> 2, px >> 2:(px + psz) >> 2] = True
+            self.plan.tus.append(TuRec(px, py, plog2, c, -1, None, qp=self.qp,
+                                       pred_only=True, is_inter=True))
+
+    # -- transform tree planning (intra pred_src=None; inter pred_src=planes) -
     def _plan_tt(self, x0, y0, x_base, y_base, log2_size, depth, blk_idx,
-                 modes, chroma_mode, intra_split, max_depth, pb):
+                 modes, chroma_mode, split0, max_depth, pred_src):
         sps = self.sps
         size = 1 << log2_size
         if (log2_size <= sps.log2_max_tb_size
                 and log2_size > sps.log2_min_tb_size
                 and depth < max_depth
-                and not (intra_split and depth == 0)):
+                and not (split0 and depth == 0)):
             split = bool(self.rng.random() < 0.3)
             self.planner.tt_splits[(x0, y0, log2_size)] = split
         else:
             split = (log2_size > sps.log2_max_tb_size
-                     or (intra_split and depth == 0))
+                     or (split0 and depth == 0))
         if split:
             half = size >> 1
             for i, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half), (half, half))):
                 self._plan_tt(x0 + dx, y0 + dy, x0, y0, log2_size - 1,
-                              depth + 1, i, modes, chroma_mode, intra_split,
-                              max_depth, pb)
-            # chroma cbf decisions for this (split) node were made by children
-            # records; cbf at node = OR of children -- computed via map lookup
+                              depth + 1, i, modes, chroma_mode, split0,
+                              max_depth, pred_src)
             self._derive_node_chroma_cbf(x0, y0, log2_size)
             return
-        # leaf: luma TU
-        lmode = modes[blk_idx] if (len(modes) > 1 and depth == 1) else modes[0]
-        self._plan_tu(x0, y0, log2_size, 0, lmode)
+        is_intra = pred_src is None
+        if is_intra:
+            lmode = modes[blk_idx] if (len(modes) > 1 and depth == 1) else modes[0]
+        else:
+            lmode = -1
+        self._plan_tu(x0, y0, log2_size, 0, lmode, pred_src)
         if log2_size > 2:
-            self._plan_tu(x0 >> 1, y0 >> 1, log2_size - 1, 1, chroma_mode)
-            self._plan_tu(x0 >> 1, y0 >> 1, log2_size - 1, 2, chroma_mode)
+            self._plan_tu(x0 >> 1, y0 >> 1, log2_size - 1, 1,
+                          chroma_mode, pred_src)
+            self._plan_tu(x0 >> 1, y0 >> 1, log2_size - 1, 2,
+                          chroma_mode, pred_src)
         elif blk_idx == 3:
-            self._plan_tu(x_base >> 1, y_base >> 1, 2, 1, chroma_mode)
-            self._plan_tu(x_base >> 1, y_base >> 1, 2, 2, chroma_mode)
+            self._plan_tu(x_base >> 1, y_base >> 1, 2, 1, chroma_mode, pred_src)
+            self._plan_tu(x_base >> 1, y_base >> 1, 2, 2, chroma_mode, pred_src)
         self._derive_node_chroma_cbf(x0, y0, log2_size)
 
     def _derive_node_chroma_cbf(self, x0, y0, log2_size):
-        """cbf_cb/cr at a node = OR over leaf chroma cbfs inside it."""
         for c in (1, 2):
             cx, cy, clog2 = x0 >> 1, y0 >> 1, log2_size - 1
             key = (cx, cy, clog2, c)
@@ -252,12 +587,19 @@ class IntraEncoder:
                     val = val or v
             self.planner.cbfs[key] = val
 
-    def _plan_tu(self, x, y, log2, c_idx, mode):
+    def _plan_tu(self, x, y, log2, c_idx, mode, pred_src):
         size = 1 << log2
         plane, avail = self.rec[c_idx], self.avail[c_idx]
         orig = self.orig[c_idx][y:y + size, x:x + size]
-        pred = intra_predict_tu(plane, avail, x, y, size, mode, c_idx,
-                                self.sps.strong_intra_smoothing)
+        is_intra = pred_src is None
+        if is_intra:
+            pred = intra_predict_tu(plane, avail, x, y, size, mode, c_idx,
+                                    self.sps.strong_intra_smoothing)
+        else:
+            cu_x, cu_y, planes_ = self._pred_cu
+            ox = x - (cu_x >> (0 if c_idx == 0 else 1))
+            oy = y - (cu_y >> (0 if c_idx == 0 else 1))
+            pred = planes_[c_idx][oy:oy + size, ox:ox + size]
         resid = orig - pred
         qp = tu_qp(self.plan, c_idx, self.qp)
         tskip = False
@@ -266,56 +608,62 @@ class IntraEncoder:
             tskip = True
             levels = quantize_transform_skip(resid, qp)
         else:
-            is_dst = c_idx == 0 and log2 == 2
+            is_dst = is_intra and c_idx == 0 and log2 == 2
             coeffs = forward_transform(resid, log2, is_dst)
             levels = quantize(coeffs, qp, log2)
         if self.pps.sign_data_hiding and levels.any():
-            scan = residual_scan_idx(mode, log2, c_idx)
+            scan = residual_scan_idx(mode if is_intra else None, log2, c_idx)
             levels = apply_sign_data_hiding(levels, log2, scan)
         cbf = bool(levels.any())
         self.planner.cbfs[(x, y, log2, c_idx)] = cbf
         if cbf:
             d = dequant(levels, qp, log2)
             res = (transform_skip_residual(d) if tskip
-                   else inverse_transform(d, log2, c_idx == 0 and log2 == 2))
+                   else inverse_transform(d, log2,
+                                          is_intra and c_idx == 0 and log2 == 2))
             rec = np.clip(pred + res, 0, 255)
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, levels, tskip,
-                                       self.qp))
+                                       self.qp, is_inter=not is_intra))
         else:
             rec = pred
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, None,
-                                       qp=self.qp, pred_only=True))
+                                       qp=self.qp, pred_only=True,
+                                       is_inter=not is_intra))
         plane[y:y + size, x:x + size] = rec
         avail[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = True
 
     # -- serialization -------------------------------------------------------
-    def _serialize(self, plan: FramePlan, sh: SliceHeader) -> bytes:
+    def _serialize(self, plan: FramePlan, sh: SliceHeader, poc, l0_pocs,
+                   l1_pocs) -> bytes:
         sps, pps = self.sps, self.pps
-        w = BitWriter()
-        write_vps(w)
-        vps_rbsp = w.get_bytes()
-        w = BitWriter()
-        write_sps(w, sps)
-        sps_rbsp = w.get_bytes()
-        w = BitWriter()
-        write_pps(w, pps)
-        pps_rbsp = w.get_bytes()
-
         w = BitWriter()
         write_slice_header(w, sh, sps, pps)
         enc = CabacEncoder(w, ContextModels(sh.init_type(), sh.slice_qp))
-        # the serialization traversal also fills plan's metadata maps
-        # (identically to what a decoder would derive)
+        mctx = None
+        if sh.slice_type != SLICE_I:
+            mctx = self._make_mctx(sh, poc, l0_pocs, l1_pocs)
         coder = CtuCoder(enc, sps, pps, sh, plan, is_enc=True,
-                         planner=self.planner)
+                         planner=self.planner, mctx=mctx)
         coder.code_slice_data()
         w.rbsp_trailing_bits()
-        slice_rbsp = w.get_bytes()
+        return nal.make_nal(sh.nal_type, w.get_bytes())
 
-        return (nal.make_nal(nal.NAL_VPS, vps_rbsp)
-                + nal.make_nal(nal.NAL_SPS, sps_rbsp)
-                + nal.make_nal(nal.NAL_PPS, pps_rbsp)
-                + nal.make_nal(sh.nal_type, slice_rbsp))
+
+# Backwards-compatible alias used by the intra tests/benches
+class IntraEncoder(Encoder):
+    def encode_frame(self, yuv):  # type: ignore[override]
+        nb, plan, prefilter, _ = super().encode_frame(
+            yuv, poc=0, slice_type=SLICE_I)
+        w = BitWriter()
+        write_vps(w)
+        stream = nal.make_nal(nal.NAL_VPS, w.get_bytes())
+        w = BitWriter()
+        write_sps(w, self.sps)
+        stream += nal.make_nal(nal.NAL_SPS, w.get_bytes())
+        w = BitWriter()
+        write_pps(w, self.pps)
+        stream += nal.make_nal(nal.NAL_PPS, w.get_bytes())
+        return stream + nb, plan, prefilter
 
 
 def make_test_image(w: int, h: int, seed: int = 0) -> list[np.ndarray]:
@@ -323,7 +671,6 @@ def make_test_image(w: int, h: int, seed: int = 0) -> list[np.ndarray]:
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
     y = (xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) // 2
-    # rectangles and circles for edges
     for _ in range(8):
         x0, y0 = int(rng.integers(0, w)), int(rng.integers(0, h))
         ww, hh = int(rng.integers(8, w // 2)), int(rng.integers(8, h // 2))
@@ -339,3 +686,22 @@ def make_test_image(w: int, h: int, seed: int = 0) -> list[np.ndarray]:
     cr = np.clip(cr + (yy[::2, ::2] * 64 // max(h - 1, 1)) - 32
                  + rng.integers(-4, 5, size=cr.shape), 0, 255)
     return [y.astype(np.int32), cb.astype(np.int32), cr.astype(np.int32)]
+
+
+def make_moving_sequence(w: int, h: int, n: int, seed: int = 0):
+    """n-frame sequence with global pan + a moving square (P-frame fodder)."""
+    rng = np.random.default_rng(seed)
+    base = make_test_image(w + 64, h + 64, seed)
+    frames = []
+    for i in range(n):
+        dx, dy = 2 * i + (i % 2), 3 * i
+        y = base[0][dy:dy + h, dx:dx + w].copy()
+        cb = base[1][dy >> 1:(dy >> 1) + (h >> 1), dx >> 1:(dx >> 1) + (w >> 1)].copy()
+        cr = base[2][dy >> 1:(dy >> 1) + (h >> 1), dx >> 1:(dx >> 1) + (w >> 1)].copy()
+        # moving square with changing content
+        sx, sy = (7 * i) % max(w - 24, 1), (5 * i) % max(h - 24, 1)
+        y[sy:sy + 24, sx:sx + 24] = (50 + 13 * i) % 256
+        noise = rng.integers(-2, 3, size=y.shape)
+        y = np.clip(y + noise, 0, 255)
+        frames.append([y.astype(np.int32), cb, cr])
+    return frames
