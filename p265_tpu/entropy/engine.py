@@ -36,6 +36,11 @@ class ContextModels:
     def snapshot(self) -> tuple[list[int], list[int]]:
         return list(self.state), list(self.mps)
 
+    def reinit(self, init_type: int, qp: int) -> None:
+        arr = init_context_array(init_type, qp)
+        self.state = arr[:, 0].tolist()
+        self.mps = arr[:, 1].tolist()
+
     def restore(self, snap: tuple[list[int], list[int]]) -> None:
         self.state = list(snap[0])
         self.mps = list(snap[1])

@@ -91,9 +91,16 @@ class DecoderBase:
                              [p.poc for p in l1], (h4, w4),
                              col_mv=col_mv, col_ref_poc=col_rp, col_poc=col_poc)
 
-        dec = CabacDecoder(BitReader(unit.rbsp[off:]),
-                           ContextModels(sh.init_type(), sh.slice_qp))
-        plan = parse_slice_data(dec, sps, pps, sh, mctx)
+        ctx = ContextModels(sh.init_type(), sh.slice_qp)
+        if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
+            from p265_tpu.syntax.ctu import DecodeSubstreams
+            provider = DecodeSubstreams(unit.rbsp[off:],
+                                        sh.entry_point_offsets, ctx)
+            plan = parse_slice_data(None, sps, pps, sh, mctx,
+                                    substreams=provider)
+        else:
+            dec = CabacDecoder(BitReader(unit.rbsp[off:]), ctx)
+            plan = parse_slice_data(dec, sps, pps, sh, mctx)
         plan.poc = poc
         plan.l0_pocs = [p.poc for p in l0]
         plan.l1_pocs = [p.poc for p in l1]

@@ -76,7 +76,13 @@ def reconstruct(plan: FramePlan, refs: dict | None = None) -> list[np.ndarray]:
               np.zeros(((ch + 3) >> 2, (cw + 3) >> 2), bool),
               np.zeros(((ch + 3) >> 2, (cw + 3) >> 2), bool)]
     inter_pred = build_inter_pred(plan, refs or {})
+    cur_tile = 0
     for tu in plan.tus:
+        if tu.tile != cur_tile:
+            # prediction never crosses tile boundaries: availability resets
+            cur_tile = tu.tile
+            for a in avails:
+                a[:] = False
         reconstruct_tu(plan, tu, planes, avails, inter_pred)
     return planes
 

@@ -232,10 +232,8 @@ _EO = ((0, -1, 0, 1), (-1, 0, 1, 0), (-1, -1, 1, 1), (-1, 1, 1, -1))
 
 
 def _sao_maps(plan: FramePlan, c: int):
+    """Per-CTU parameter grids (tiny); expansion to pixels happens on device."""
     sps = plan.sps
-    ctb = sps.ctb_size if c == 0 else sps.ctb_size >> 1
-    w = sps.pic_width if c == 0 else sps.pic_width >> 1
-    h = sps.pic_height if c == 0 else sps.pic_height >> 1
     nx, ny = sps.pic_width_ctbs, sps.pic_height_ctbs
     ty = np.zeros((ny, nx), np.int32)
     cls = np.zeros((ny, nx), np.int32)
@@ -246,17 +244,20 @@ def _sao_maps(plan: FramePlan, c: int):
         cls[iy, ix] = rec.cls[c]
         for i in range(4):
             offs[i, iy, ix] = rec.offsets[c][i]
-
-    def expand(m):
-        return np.repeat(np.repeat(m, ctb, axis=0), ctb, axis=1)[:h, :w]
-
-    return (expand(ty), expand(cls),
-            [expand(offs[i]) for i in range(4)])
+    return ty, cls, offs
 
 
-@jax.jit
-def _sao_apply(src, ty, cls, o0, o1, o2, o3):
+@functools.partial(jax.jit, static_argnames=("ctb",))
+def _sao_apply(src, ty_g, cls_g, offs_g, ctb: int):
     H, W = src.shape
+
+    def expand(m):  # [ny, nx] -> [H, W] on device
+        e = jnp.repeat(jnp.repeat(m, ctb, axis=0), ctb, axis=1)
+        return e[:H, :W]
+
+    ty = expand(ty_g)
+    cls = expand(cls_g)
+    o0, o1, o2, o3 = (expand(offs_g[i]) for i in range(4))
     v = src
     # band
     band = v >> 3
@@ -294,8 +295,9 @@ def sao_tpu(plan: FramePlan, planes: list) -> list:
             outs.append(planes[c])
             continue
         ty, cls, offs = _sao_maps(plan, c)
+        ctb = plan.sps.ctb_size if c == 0 else plan.sps.ctb_size >> 1
         outs.append(_sao_apply(jnp.asarray(planes[c]), jnp.asarray(ty),
-                               jnp.asarray(cls), *(jnp.asarray(o) for o in offs)))
+                               jnp.asarray(cls), jnp.asarray(offs), ctb))
     return outs
 
 

@@ -106,7 +106,11 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None) -> TensorPlan:
         prod_step = np.zeros((g_h, g_w), np.int32)  # step of producing TU
         tus = _expand_large([t for t in plan.tus if t.c_idx == p_idx])
         per_tu = []
+        cur_tile = 0
         for t in tus:
+            if t.tile != cur_tile:
+                cur_tile = t.tile
+                avail[:] = False  # prediction never crosses tile boundaries
             size = 1 << t.log2
             n = size
             if t.is_inter:

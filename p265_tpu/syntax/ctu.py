@@ -19,6 +19,7 @@ from p265_tpu.golden.mv import Motion, MotionCtx, derive_amvp, derive_merge_list
 from p265_tpu.hls.params import PPS, SPS
 from p265_tpu.hls.slice_header import SLICE_B, SLICE_I, SliceHeader
 from p265_tpu.syntax.residual import decode_residual, encode_residual
+from p265_tpu.syntax.tiles import TileInfo, build_tile_info
 from p265_tpu.tables import residual_scan_idx
 
 SAO_OFF, SAO_BAND, SAO_EDGE = 0, 1, 2
@@ -61,6 +62,7 @@ class TuRec:
     qp: int = 26
     pred_only: bool = False
     is_inter: bool = False
+    tile: int = 0
 
 
 @dataclass
@@ -102,6 +104,8 @@ class FramePlan:
     skip_map: np.ndarray | None = None
     mv_map: np.ndarray | None = None     # [h4,w4,2,2] (wired from MotionCtx)
     ref_map: np.ndarray | None = None    # [h4,w4,2] ref POCs, NO_REF unused
+    tile_map4: np.ndarray | None = None  # [h4,w4] tile id per 4x4 luma block
+    tile_tu_starts: list[int] = field(default_factory=list)  # TU idx per tile start
 
     def grid_shape(self) -> tuple[int, int]:
         return ((self.sps.pic_height + 3) >> 2, (self.sps.pic_width + 3) >> 2)
@@ -167,6 +171,50 @@ class _SyntaxIO:
         return self.e.decode_eg_bypass(k)
 
 
+class DecodeSubstreams:
+    """Substream engine provider for decoding (tiles / WPP entry points)."""
+
+    def __init__(self, data: bytes, entry_sizes: list[int], ctx):
+        bounds = [0]
+        for sz in entry_sizes:
+            bounds.append(bounds[-1] + sz)
+        bounds.append(len(data))
+        self.chunks = [data[bounds[i]:bounds[i + 1]]
+                       for i in range(len(bounds) - 1)]
+        self.ctx = ctx
+
+    def get(self, i: int):
+        from p265_tpu.entropy.engine import CabacDecoder
+        from p265_tpu.hls.bitio import BitReader
+        return CabacDecoder(BitReader(self.chunks[i]), self.ctx)
+
+
+class EncodeSubstreams:
+    """Substream engine provider for encoding; collects byte-aligned chunks."""
+
+    def __init__(self, ctx):
+        self.ctx = ctx
+        self.writers = []
+
+    def get(self, i: int):
+        from p265_tpu.entropy.engine import CabacEncoder
+        from p265_tpu.hls.bitio import BitWriter
+        self._seal_last()
+        w = BitWriter()
+        self.writers.append(w)
+        return CabacEncoder(w, self.ctx)
+
+    def _seal_last(self):
+        if self.writers:
+            self.writers[-1].rbsp_trailing_bits()  # byte_alignment pattern
+
+    def finalize(self):
+        self._seal_last()
+        chunks = [w.get_bytes() for w in self.writers]
+        entry_sizes = [len(c) for c in chunks[:-1]]
+        return b"".join(chunks), entry_sizes
+
+
 class CtuCoder:
     """Walks one slice's CTUs, decoding into / encoding from a FramePlan.
 
@@ -179,7 +227,10 @@ class CtuCoder:
 
     def __init__(self, engine, sps: SPS, pps: PPS, sh: SliceHeader,
                  plan: FramePlan, is_enc: bool, planner=None,
-                 mctx: MotionCtx | None = None):
+                 mctx: MotionCtx | None = None, substreams=None):
+        self.substreams = substreams
+        if substreams is not None:
+            engine = substreams.get(0)
         self.io = _SyntaxIO(engine, is_enc)
         self.engine = engine
         self.is_enc = is_enc
@@ -194,6 +245,18 @@ class CtuCoder:
         self.depth_map = plan.ct_depth_map
         h4, w4 = plan.grid_shape()
         self.avail = np.zeros((h4, w4), bool)
+        self.tile_info = build_tile_info(sps, pps)
+        self.cur_tile = 0
+        # static tile-id map at 4x4 granularity
+        tm = np.zeros((h4, w4), np.int32)
+        for addr in range(sps.num_ctbs):
+            xc = (addr % sps.pic_width_ctbs) << sps.log2_ctb_size
+            yc = (addr // sps.pic_width_ctbs) << sps.log2_ctb_size
+            x1 = min(xc + sps.ctb_size, sps.pic_width)
+            y1 = min(yc + sps.ctb_size, sps.pic_height)
+            tm[yc >> 2:(y1 + 3) >> 2, xc >> 2:(x1 + 3) >> 2] =                 self.tile_info.tile_of_ctb[addr]
+        plan.tile_map4 = tm
+        self.tile_map4 = tm
         self.mctx = mctx
         if mctx is not None:
             plan.mv_map = mctx.mv
@@ -202,12 +265,16 @@ class CtuCoder:
             mctx.intra_map = plan.intra_map
         self._tu_iter = iter(plan.tus) if is_enc else None
         self._pu_iter = iter(plan.pus) if is_enc else None
-        self._sao_iter = iter(plan.sao) if is_enc else None
+        # plan.sao is raster-indexed (length num_ctbs); decode pre-allocates
+        if not is_enc:
+            plan.sao = [SaoRec() for _ in range(sps.num_ctbs)]
 
     # -- helpers -------------------------------------------------------------
     def _avail_at(self, x: int, y: int) -> bool:
         if x < 0 or y < 0 or x >= self.sps.pic_width or y >= self.sps.pic_height:
             return False
+        if self.tile_map4[y >> 2, x >> 2] != self.cur_tile:
+            return False  # prediction never crosses tile boundaries
         return bool(self.avail[y >> 2, x >> 2])
 
     def _mark(self, x0: int, y0: int, size: int) -> None:
@@ -233,32 +300,69 @@ class CtuCoder:
         ef[y0 >> 2, x0 >> 2:(x1 + 3) >> 2] |= 2
 
     # -- slice main loop -----------------------------------------------------
+    def _switch_engine(self, seg_idx: int) -> None:
+        self.engine = self.substreams.get(seg_idx)
+        self.io.e = self.engine
+
     def code_slice_data(self) -> None:
         sps = self.sps
-        for ctb_addr in range(sps.num_ctbs):
-            xc = (ctb_addr % sps.pic_width_ctbs) << sps.log2_ctb_size
-            yc = (ctb_addr // sps.pic_width_ctbs) << sps.log2_ctb_size
-            if sps.sao_enabled and (self.sh.sao_luma or self.sh.sao_chroma):
-                self._code_sao(ctb_addr)
-            elif not self.is_enc:
-                self.plan.sao.append(SaoRec())
-            self._coding_quadtree(xc, yc, sps.log2_ctb_size, 0)
-            last = ctb_addr == sps.num_ctbs - 1
-            end = self.io.terminate(int(last))
-            if not self.is_enc and bool(end) != last:
-                raise ValueError("end_of_slice_segment_flag mismatch")
+        ti = self.tile_info
+        wc = sps.pic_width_ctbs
+        last_addr = ti.ctb_scan[-1] if ti.ctb_scan else sps.num_ctbs - 1
+        wpp_snapshots: dict[int, tuple] = {}
+        ctx = self.engine.ctx
+        n_segs = len(ti.segments)
+        sao_decode_order = {}
+        for seg_idx, seg in enumerate(ti.segments):
+            if seg_idx > 0:
+                assert self.substreams is not None,                     "multi-substream slice requires entry points"
+                self._switch_engine(seg_idx)
+                if ti.wpp:
+                    snap = wpp_snapshots.get(seg_idx - 1)
+                    if wc > 1 and snap is not None:
+                        ctx.restore(snap)
+                    else:
+                        ctx.reinit(self.sh.init_type(), self.sh.slice_qp)
+                else:
+                    ctx.reinit(self.sh.init_type(), self.sh.slice_qp)
+            for addr in seg:
+                xc = (addr % wc) << sps.log2_ctb_size
+                yc = (addr // wc) << sps.log2_ctb_size
+                self.cur_tile = int(ti.tile_of_ctb[addr])
+                if not self.is_enc and self.plan.tile_tu_starts is not None:
+                    if addr == seg[0] and not ti.wpp:
+                        self.plan.tile_tu_starts.append(len(self.plan.tus))
+                if sps.sao_enabled and (self.sh.sao_luma or self.sh.sao_chroma):
+                    self._code_sao(addr)
+                self._coding_quadtree(xc, yc, sps.log2_ctb_size, 0)
+                if ti.wpp and (addr % wc) == 1:
+                    wpp_snapshots[addr // wc] = ctx.snapshot()
+                last = addr == last_addr
+                end = self.io.terminate(int(last))
+                if not self.is_enc and bool(end) != last:
+                    raise ValueError("end_of_slice_segment_flag mismatch")
+            if seg_idx < n_segs - 1:
+                # end_of_subset_one_bit (always 1) + byte alignment
+                got = self.io.terminate(1)
+                if not self.is_enc and not got:
+                    raise ValueError("end_of_subset_one_bit mismatch")
+        if self.pps.tiles_enabled and not self.pps.loop_filter_across_tiles:
+            ef = self.plan.edge_flags
+            for cb in ti.col_bounds[1:-1]:
+                ef[:, (cb << sps.log2_ctb_size) >> 2] &= ~1
+            for rb in ti.row_bounds[1:-1]:
+                ef[(rb << sps.log2_ctb_size) >> 2, :] &= ~2
 
     # -- SAO (spec 7.3.8.3) --------------------------------------------------
     def _code_sao(self, ctb_addr: int) -> None:
         sh = self.sh
-        if self.is_enc:
-            rec = next(self._sao_iter)
-        else:
-            rec = SaoRec()
-            self.plan.sao.append(rec)
+        rec = self.plan.sao[ctb_addr]
         wc = self.sps.pic_width_ctbs
-        left_ok = ctb_addr % wc != 0
-        up_ok = ctb_addr >= wc
+        tof = self.tile_info.tile_of_ctb
+        left_ok = (ctb_addr % wc != 0
+                   and tof[ctb_addr - 1] == tof[ctb_addr])
+        up_ok = (ctb_addr >= wc
+                 and tof[ctb_addr - wc] == tof[ctb_addr])
         merge = False
         if left_ok:
             rec.merge_left = bool(self.io.flag("sao_merge_flag", 0,
@@ -777,7 +881,7 @@ class CtuCoder:
         else:
             self.plan.tus.append(
                 TuRec(x, y, log2, c_idx, mode, None, qp=qp, pred_only=True,
-                      is_inter=is_inter))
+                      is_inter=is_inter, tile=self.cur_tile))
 
     def _code_residual(self, x, y, log2, c_idx, scan, mode, qp,
                        is_inter=False) -> None:
@@ -798,11 +902,14 @@ class CtuCoder:
                 transform_skip_allowed=pps.transform_skip_enabled,
                 sign_data_hiding=pps.sign_data_hiding, tq_bypass=False)
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, levels, tskip,
-                                       qp, is_inter=is_inter))
+                                       qp, is_inter=is_inter,
+                                       tile=self.cur_tile))
 
 
 def parse_slice_data(dec, sps: SPS, pps: PPS, sh: SliceHeader,
-                     mctx: MotionCtx | None = None) -> FramePlan:
+                     mctx: MotionCtx | None = None,
+                     substreams=None) -> FramePlan:
     plan = FramePlan(sps, pps, sh)
-    CtuCoder(dec, sps, pps, sh, plan, is_enc=False, mctx=mctx).code_slice_data()
+    CtuCoder(dec, sps, pps, sh, plan, is_enc=False, mctx=mctx,
+             substreams=substreams).code_slice_data()
     return plan

@@ -33,8 +33,9 @@ from p265_tpu.hls.params import (PPS, SPS, ShortTermRPS, write_pps, write_sps,
                                  write_vps)
 from p265_tpu.hls.slice_header import (SLICE_B, SLICE_I, SLICE_P, SliceHeader,
                                        write_slice_header)
-from p265_tpu.syntax.ctu import (CtuCoder, FramePlan, PuRec, SaoRec, TuRec,
-                                 pu_rects, wrap_mv)
+from p265_tpu.syntax.ctu import (CtuCoder, EncodeSubstreams, FramePlan, PuRec,
+                                 SaoRec, TuRec, pu_rects, wrap_mv)
+from p265_tpu.syntax.tiles import build_tile_info
 from p265_tpu.syntax.residual import apply_sign_data_hiding
 from p265_tpu.tables import residual_scan_idx
 
@@ -106,9 +107,28 @@ class Encoder:
 
     # -- public --------------------------------------------------------------
     def encode_frame(self, yuv, *, poc: int = 0, slice_type: int = SLICE_I,
-                     ref_pocs: tuple[list[int], list[int]] = ([], [])):
-        """Encode one frame -> (nal_bytes, plan, prefilter_recon, filtered)."""
+                     used_pocs: list[int] | None = None,
+                     keep_pocs: list[int] | None = None,
+                     n_ref: tuple[int, int] = (1, 1)):
+        """Encode one frame -> (nal_bytes, plan, prefilter_recon, filtered).
+
+        used_pocs: reference POCs for this picture; keep_pocs: POCs that must
+        stay in the DPB for later pictures (RPS used flag 0).  Reference list
+        order replicates the decoder's derivation (before-desc + after-asc).
+        """
         sps, pps = self.sps, self.pps
+        used_pocs = used_pocs or []
+        keep_pocs = keep_pocs or []
+        before = sorted((p for p in used_pocs if p < poc), reverse=True)
+        after = sorted(p for p in used_pocs if p > poc)
+        tmp0 = before + after
+        tmp1 = after + before
+        n0 = min(n_ref[0], len(tmp0)) or (1 if tmp0 else 0)
+        l0_pocs = [tmp0[i % len(tmp0)] for i in range(n0)] if tmp0 else []
+        l1_pocs = []
+        if slice_type == SLICE_B:
+            n1 = min(n_ref[1], len(tmp1)) or (1 if tmp1 else 0)
+            l1_pocs = [tmp1[i % len(tmp1)] for i in range(n1)] if tmp1 else []
         self.rng = np.random.default_rng(self.seed + poc * 1031)
         self.orig = [p.astype(np.int32) for p in yuv]
         w, h = sps.pic_width, sps.pic_height
@@ -130,18 +150,18 @@ class Encoder:
         sh.deblocking_filter_disabled = pps.deblocking_filter_disabled
         sh.beta_offset_div2 = pps.beta_offset_div2
         sh.tc_offset_div2 = pps.tc_offset_div2
-        l0_pocs, l1_pocs = ref_pocs
         sh.num_ref_idx_l0_active = max(1, len(l0_pocs))
         sh.num_ref_idx_l1_active = max(1, len(l1_pocs))
         if not is_idr:
-            # explicit RPS describing exactly our reference set
+            # explicit RPS: current refs (used=1) + later-needed pics (used=0)
+            all_pocs = sorted(set(used_pocs) | set(keep_pocs))
+            neg = [p for p in all_pocs if p < poc]
+            pos = [p for p in all_pocs if p > poc]
             rps = ShortTermRPS(
-                delta_poc_s0=[p - poc for p in sorted(
-                    (p for p in l0_pocs if p < poc), reverse=True)],
-                used_s0=[1] * len([p for p in l0_pocs if p < poc]),
-                delta_poc_s1=[p - poc for p in sorted(
-                    p for p in l1_pocs if p > poc)],
-                used_s1=[1] * len([p for p in l1_pocs if p > poc]))
+                delta_poc_s0=[p - poc for p in sorted(neg, reverse=True)],
+                used_s0=[int(p in used_pocs) for p in sorted(neg, reverse=True)],
+                delta_poc_s1=[p - poc for p in sorted(pos)],
+                used_s1=[int(p in used_pocs) for p in sorted(pos)])
             sh.st_rps_explicit = rps
             sh.st_rps_sps_flag = False
 
@@ -157,11 +177,19 @@ class Encoder:
         self.ref_by_poc = {r.poc: r for r in self.refs}
         self.mctx = self._make_mctx(sh, poc, l0_pocs, l1_pocs)
 
-        for ctb_addr in range(sps.num_ctbs):
+        self.tile_info = build_tile_info(sps, pps)
+        self.cur_tile = 0
+        plan.sao = [SaoRec() for _ in range(sps.num_ctbs)]
+        for ctb_addr in self.tile_info.ctb_scan:
+            t_id = int(self.tile_info.tile_of_ctb[ctb_addr])
+            if t_id != self.cur_tile:
+                self.cur_tile = t_id
+                for a in self.avail:
+                    a[:] = False  # prediction never crosses tile boundaries
             xc = (ctb_addr % sps.pic_width_ctbs) << sps.log2_ctb_size
             yc = (ctb_addr // sps.pic_width_ctbs) << sps.log2_ctb_size
             if sps.sao_enabled and (sh.sao_luma or sh.sao_chroma):
-                plan.sao.append(self._plan_sao(ctb_addr))
+                plan.sao[ctb_addr] = self._plan_sao(ctb_addr)
             self._plan_cq(xc, yc, sps.log2_ctb_size, 0)
 
         nal_bytes = self._serialize(plan, sh, poc, l0_pocs, l1_pocs)
@@ -211,30 +239,77 @@ class Encoder:
         w = BitWriter()
         write_pps(w, self.pps)
         out += nal.make_nal(nal.NAL_PPS, w.get_bytes())
-        recons = []
-        for i, f in enumerate(frames):
-            if i == 0:
-                nb, _, _, filt = self.encode_frame(f, poc=0, slice_type=SLICE_I)
-            else:
-                n_refs = 2 if structure == "LDP2" else 1
-                l0 = [i - k for k in range(1, min(i, n_refs) + 1)]
-                nb, _, _, filt = self.encode_frame(
-                    f, poc=i, slice_type=SLICE_P, ref_pocs=(l0, []))
+        recons = {}
+        if structure in ("LDP", "LDP2"):
+            for i, f in enumerate(frames):
+                if i == 0:
+                    nb, _, _, filt = self.encode_frame(f, poc=0,
+                                                       slice_type=SLICE_I)
+                else:
+                    n_refs = 2 if structure == "LDP2" else 1
+                    l0 = [i - k for k in range(1, min(i, n_refs) + 1)]
+                    nb, _, _, filt = self.encode_frame(
+                        f, poc=i, slice_type=SLICE_P, used_pocs=l0,
+                        n_ref=(len(l0), 0))
+                out += nb
+                recons[i] = filt
+        elif structure == "RA":
+            # hierarchical mini-GOPs of 4: decode order 0, 4, 2, 1, 3, 8, 6, ...
+            n = len(frames)
+            nb, _, _, filt = self.encode_frame(frames[0], poc=0,
+                                               slice_type=SLICE_I)
             out += nb
-            recons.append(filt)
-        return out, recons
+            recons[0] = filt
+            base = 0
+            while base + 1 < n:
+                anchor = min(base + 4, n - 1)
+                if anchor == base:
+                    break
+                nb, _, _, filt = self.encode_frame(
+                    frames[anchor], poc=anchor, slice_type=SLICE_P,
+                    used_pocs=[base], n_ref=(1, 0))
+                out += nb
+                recons[anchor] = filt
+                mids = [p for p in range(base + 1, anchor)]
+                if len(mids) == 3:  # full mini-GOP: B2(b,a) then B1, B3
+                    m = base + 2
+                    for poc_b, refs, keeps in (
+                            (m, [base, anchor], []),
+                            (base + 1, [base, m], [anchor]),
+                            (base + 3, [m, anchor], [])):
+                        nb, _, _, filt = self.encode_frame(
+                            frames[poc_b], poc=poc_b, slice_type=SLICE_B,
+                            used_pocs=refs, keep_pocs=keeps, n_ref=(1, 1))
+                        out += nb
+                        recons[poc_b] = filt
+                else:
+                    for poc_b in mids:
+                        nb, _, _, filt = self.encode_frame(
+                            frames[poc_b], poc=poc_b, slice_type=SLICE_B,
+                            used_pocs=[base, anchor],
+                            keep_pocs=[], n_ref=(1, 1))
+                        out += nb
+                        recons[poc_b] = filt
+                base = anchor
+        else:
+            raise ValueError(structure)
+        return out, [recons[i] for i in sorted(recons)]
 
     # -- SAO planning --------------------------------------------------------
     def _plan_sao(self, ctb_addr: int) -> SaoRec:
         rec = SaoRec()
         r = self.rng.random()
-        if ctb_addr % self.sps.pic_width_ctbs != 0 and r < 0.15:
+        tof = self.tile_info.tile_of_ctb
+        wc = self.sps.pic_width_ctbs
+        left_same = ctb_addr % wc != 0 and tof[ctb_addr - 1] == tof[ctb_addr]
+        up_same = ctb_addr >= wc and tof[ctb_addr - wc] == tof[ctb_addr]
+        if left_same and r < 0.15:
             rec.merge_left = True
-            src = self.plan.sao[ctb_addr - 1]
+            src = self.plan.sao[ctb_addr - 1]  # raster-indexed
             rec.type, rec.cls = list(src.type), list(src.cls)
             rec.offsets = [list(o) for o in src.offsets]
             return rec
-        if ctb_addr >= self.sps.pic_width_ctbs and r < 0.25:
+        if up_same and r < 0.25:
             rec.merge_up = True
             src = self.plan.sao[ctb_addr - self.sps.pic_width_ctbs]
             rec.type, rec.cls = list(src.type), list(src.cls)
@@ -406,11 +481,27 @@ class Encoder:
             if best_mcost is None or c < best_mcost:
                 best_midx, best_mcost = i, c
 
-        # --- candidate B: 2Nx2N AMVP (L0 ref 0) ---
-        amvp = derive_amvp(self.mctx, x0, y0, size, size, 0, 0)
-        mv, me_cost = self._motion_search(
-            x0, y0, size, size, 0, 0, [amvp[0], amvp[1], (0, 0)])
-        me_cost += 20  # crude bit-cost penalty vs merge
+        # --- candidate B: 2Nx2N AMVP ---
+        is_b = self.slice_type == SLICE_B and len(self.mctx.list_pocs[1]) > 0
+        amvp0 = derive_amvp(self.mctx, x0, y0, size, size, 0, 0)
+        mv0, me_cost0 = self._motion_search(
+            x0, y0, size, size, 0, 0, [amvp0[0], amvp0[1], (0, 0)])
+        amvp_dir, amvp_mvs = 0, (mv0, (0, 0))
+        me_cost = me_cost0 + 20  # crude bit-cost penalty vs merge
+        if is_b:
+            amvp1 = derive_amvp(self.mctx, x0, y0, size, size, 1, 0)
+            mv1, me_cost1 = self._motion_search(
+                x0, y0, size, size, 1, 0, [amvp1[0], amvp1[1], (0, 0)])
+            # bi-prediction cost (true 14-bit intermediate average)
+            ref0 = self.ref_by_poc[self.mctx.list_pocs[0][0]].planes[0]
+            ref1 = self.ref_by_poc[self.mctx.list_pocs[1][0]].planes[0]
+            bi = combine_bi(mc_luma(ref0, x0, y0, size, size, *mv0),
+                            mc_luma(ref1, x0, y0, size, size, *mv1))
+            bi_cost = int(np.abs(orig_y - bi).sum()) + 40
+            options = ((0, me_cost0 + 20, (mv0, (0, 0))),
+                       (1, me_cost1 + 20, ((0, 0), mv1)),
+                       (2, bi_cost, (mv0, mv1)))
+            amvp_dir, me_cost, amvp_mvs = min(options, key=lambda o: o[1])
 
         # --- candidate C: intra ---
         cand_modes = sorted({0, 1, 10, 26, int(self.rng.integers(2, 35))})
@@ -420,7 +511,7 @@ class Encoder:
         choice = min((("merge", best_mcost), ("amvp", me_cost),
                       ("intra", icost)), key=lambda kv: kv[1])[0]
         if self.rng.random() < 0.06:
-            choice = "intra"  # coverage: occasional intra in P
+            choice = "intra"  # coverage: occasional intra in P/B
 
         if choice == "intra":
             self.planner.cu_skips[(x0, y0)] = False
@@ -444,33 +535,51 @@ class Encoder:
             else:
                 cands = derive_merge_list(self.mctx, x0, y0, size, px, py,
                                           w, h, part, i, sh.max_num_merge_cand)
-                amvp = derive_amvp(self.mctx, px, py, w, h, 0, 0)
-                mv, cost = self._motion_search(px, py, w, h, 0, 0,
-                                               [amvp[0], amvp[1], (0, 0)])
+                if part == "2Nx2N":
+                    idc, mvs = amvp_dir, amvp_mvs
+                else:
+                    # sub-partitions: re-search per PU, uni L0 for simplicity
+                    a = derive_amvp(self.mctx, px, py, w, h, 0, 0)
+                    mv, _ = self._motion_search(px, py, w, h, 0, 0,
+                                                [a[0], a[1], (0, 0)])
+                    idc, mvs = 0, (mv, (0, 0))
+                # merge shortcut if a candidate matches exactly
+                want = Motion()
+                for lx in range(2):
+                    if (idc == 2) or (idc == lx):
+                        want.mv[lx] = mvs[lx]
+                        want.ref_idx[lx] = 0
+                        want.ref_poc[lx] = self.mctx.list_pocs[lx][0]
                 use_merge = False
                 for ci, mc in enumerate(cands):
-                    if (mc.uses(0) and not mc.uses(1) and mc.mv[0] == mv
-                            and mc.ref_idx[0] == 0):
+                    if mc.same_motion(want):
                         use_merge = True
                         self.planner.pu_plans[(px, py)] = {
                             "merge": True, "merge_idx": ci}
                         m = mc.copy()
                         break
                 if not use_merge:
-                    mvp_flag = 0
-                    d0 = (abs(mv[0] - amvp[0][0]) + abs(mv[1] - amvp[0][1]))
-                    d1 = (abs(mv[0] - amvp[1][0]) + abs(mv[1] - amvp[1][1]))
-                    if d1 < d0:
-                        mvp_flag = 1
-                    mvd = (mv[0] - amvp[mvp_flag][0], mv[1] - amvp[mvp_flag][1])
                     m = Motion()
-                    m.mv[0] = (wrap_mv(amvp[mvp_flag][0] + mvd[0]),
-                               wrap_mv(amvp[mvp_flag][1] + mvd[1]))
-                    m.ref_idx[0] = 0
-                    m.ref_poc[0] = self.mctx.list_pocs[0][0]
+                    mvds = [(0, 0), (0, 0)]
+                    mvps = [0, 0]
+                    for lx in range(2):
+                        if not ((idc == 2) or (idc == lx)):
+                            continue
+                        a = derive_amvp(self.mctx, px, py, w, h, lx, 0)
+                        mv = mvs[lx]
+                        d0 = abs(mv[0] - a[0][0]) + abs(mv[1] - a[0][1])
+                        d1 = abs(mv[0] - a[1][0]) + abs(mv[1] - a[1][1])
+                        mvp_flag = 1 if d1 < d0 else 0
+                        mvd = (mv[0] - a[mvp_flag][0], mv[1] - a[mvp_flag][1])
+                        m.mv[lx] = (wrap_mv(a[mvp_flag][0] + mvd[0]),
+                                    wrap_mv(a[mvp_flag][1] + mvd[1]))
+                        m.ref_idx[lx] = 0
+                        m.ref_poc[lx] = self.mctx.list_pocs[lx][0]
+                        mvds[lx] = mvd
+                        mvps[lx] = mvp_flag
                     self.planner.pu_plans[(px, py)] = {
-                        "merge": False, "inter_dir": 0, "ref_idx": [0, 0],
-                        "mvd": [mvd, (0, 0)], "mvp_flag": [mvp_flag, 0]}
+                        "merge": False, "inter_dir": idc, "ref_idx": [0, 0],
+                        "mvd": mvds, "mvp_flag": mvps}
             self.mctx.store_pu(px, py, w, h, m)
             motions.append(m)
             self.plan.pus.append(PuRec(px, py, w, h, m))
@@ -534,7 +643,8 @@ class Encoder:
             self.rec[c][py:py + psz, px:px + psz] = pred[c]
             self.avail[c][py >> 2:(py + psz) >> 2, px >> 2:(px + psz) >> 2] = True
             self.plan.tus.append(TuRec(px, py, plog2, c, -1, None, qp=self.qp,
-                                       pred_only=True, is_inter=True))
+                                       pred_only=True, is_inter=True,
+                                       tile=self.cur_tile))
 
     # -- transform tree planning (intra pred_src=None; inter pred_src=planes) -
     def _plan_tt(self, x0, y0, x_base, y_base, log2_size, depth, blk_idx,
@@ -623,12 +733,14 @@ class Encoder:
                                           is_intra and c_idx == 0 and log2 == 2))
             rec = np.clip(pred + res, 0, 255)
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, levels, tskip,
-                                       self.qp, is_inter=not is_intra))
+                                       self.qp, is_inter=not is_intra,
+                                       tile=self.cur_tile))
         else:
             rec = pred
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, None,
                                        qp=self.qp, pred_only=True,
-                                       is_inter=not is_intra))
+                                       is_inter=not is_intra,
+                                       tile=self.cur_tile))
         plane[y:y + size, x:x + size] = rec
         avail[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = True
 
@@ -636,12 +748,24 @@ class Encoder:
     def _serialize(self, plan: FramePlan, sh: SliceHeader, poc, l0_pocs,
                    l1_pocs) -> bytes:
         sps, pps = self.sps, self.pps
-        w = BitWriter()
-        write_slice_header(w, sh, sps, pps)
-        enc = CabacEncoder(w, ContextModels(sh.init_type(), sh.slice_qp))
+        ctx = ContextModels(sh.init_type(), sh.slice_qp)
         mctx = None
         if sh.slice_type != SLICE_I:
             mctx = self._make_mctx(sh, poc, l0_pocs, l1_pocs)
+        if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
+            provider = EncodeSubstreams(ctx)
+            coder = CtuCoder(None, sps, pps, sh, plan, is_enc=True,
+                             planner=self.planner, mctx=mctx,
+                             substreams=provider)
+            coder.code_slice_data()
+            data, entry_sizes = provider.finalize()
+            sh.entry_point_offsets = entry_sizes
+            w = BitWriter()
+            write_slice_header(w, sh, sps, pps)
+            return nal.make_nal(sh.nal_type, w.get_bytes() + data)
+        w = BitWriter()
+        write_slice_header(w, sh, sps, pps)
+        enc = CabacEncoder(w, ctx)
         coder = CtuCoder(enc, sps, pps, sh, plan, is_enc=True,
                          planner=self.planner, mctx=mctx)
         coder.code_slice_data()

@@ -8,17 +8,16 @@ from p265_tpu.pipeline.decoder import TpuDecoder
 from p265_tpu.testgen.encoder import IntraEncoder, make_test_image
 
 
-def _compare(w, h, qp, seed, **enc_kw):
+def _compare(w, h, qp, seed, use_mxu=True):
     sps = SPS(pic_width=w, pic_height=h)
     pps = PPS(init_qp=qp, sign_data_hiding=True)
     img = make_test_image(w, h, seed)
-    stream, _, _ = IntraEncoder(sps, pps, qp=qp, seed=seed, **enc_kw).encode_frame(img)
+    stream, _, _ = IntraEncoder(sps, pps, qp=qp, seed=seed).encode_frame(img)
     gold = GoldenDecoder().decode_stream(stream)[0]
-    tpu = TpuDecoder().decode_stream(stream)[0]
-    _, planes, prefilter, _ = tpu
+    tpu = TpuDecoder(use_mxu=use_mxu).decode_stream(stream)[0]
     for c in range(3):
-        assert np.array_equal(prefilter[c], gold.prefilter[c]), f"prefilter {c}"
-        assert np.array_equal(planes[c], gold.planes[c]), f"filtered {c}"
+        assert np.array_equal(tpu.prefilter[c], gold.prefilter[c]), f"prefilter {c}"
+        assert np.array_equal(tpu.planes[c], gold.planes[c]), f"filtered {c}"
 
 
 def test_tpu_matches_golden_128():
@@ -34,11 +33,4 @@ def test_tpu_matches_golden_highqp():
 
 
 def test_tpu_int32_path():
-    sps = SPS(pic_width=64, pic_height=64)
-    pps = PPS(init_qp=30)
-    img = make_test_image(64, 64, 5)
-    stream, _, _ = IntraEncoder(sps, pps, qp=30, seed=5).encode_frame(img)
-    gold = GoldenDecoder().decode_stream(stream)[0]
-    tpu = TpuDecoder(use_mxu=False).decode_stream(stream)[0]
-    for c in range(3):
-        assert np.array_equal(tpu[1][c], gold.planes[c])
+    _compare(64, 64, 30, 5, use_mxu=False)
