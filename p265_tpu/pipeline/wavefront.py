@@ -132,116 +132,108 @@ def reconstruct_tpu_scan(tplan: TensorPlan, use_mxu: bool = True):
 
 
 # ---------------------------------------------------------------------------
-# frame-batched execution: vmap the per-plane scan over a batch of frames
-# (intra frames / independent streams are data-parallel; SURVEY.md 7.4)
+# frame-batched execution: frames are folded into one tall plane buffer
+# (per-frame segments of height H+GUARD) so the single-frame compiled scan is
+# reused with larger step batches -- no vmap, no extra compilation shapes.
+# Independent intra frames / streams are data-parallel (SURVEY.md 7.4).
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "c_idx", "shape"))
-def _run_plane_batch(stacked, residuals, sizes: tuple, c_idx: int,
-                     shape: tuple, pred_planes):
-    def one(st, res, pred):
-        return _run_plane.__wrapped__(st, res, sizes, c_idx, shape, pred)
-    return jax.vmap(one)(stacked, residuals, pred_planes)
+def _merge_tensor_plans(tplans: list, p_idx: int):
+    """Merge one plane across F frames into a combined PlanePlan-like view."""
+    from p265_tpu.plan.frame_plan import PlanePlan, TuBatch
+
+    pps_ = [tp.planes[p_idx] for tp in tplans]
+    ph, pw = pps_[0].shape
+    stride = ph + GUARD
+    F = len(pps_)
+    n_steps = max(pp.n_steps for pp in pps_)
+    merged = PlanePlan(p_idx, (stride * F - GUARD, pw), n_steps)
+    all_sizes = sorted({log2 for pp in pps_ for log2 in pp.batches})
+    for log2 in all_sizes:
+        parts = []
+        for f, pp in enumerate(pps_):
+            b = pp.batches.get(log2)
+            if b is None:
+                continue
+            off = f * stride
+            nref2 = b.ref_ys.shape[1]
+            pos = b.pos.copy()
+            pos[:, 0] += off
+            rys = b.ref_ys + off  # invalid refs are gated by ref_ok
+            parts.append((b, pos, rys))
+        if not parts:
+            continue
+        order = np.argsort(
+            np.concatenate([b.step for b, _, _ in parts]), kind="stable")
+        cat = lambda key: np.concatenate(
+            [getattr(b, key) for b, _, _ in parts])[order]
+        merged.batches[log2] = TuBatch(
+            size=1 << log2,
+            pos=np.concatenate([p for _, p, _ in parts])[order],
+            step=cat("step"),
+            coeffs=cat("coeffs"),
+            qp=cat("qp"),
+            mode=cat("mode"),
+            c_idx=cat("c_idx"),
+            is_dst=cat("is_dst"),
+            tskip=cat("tskip"),
+            has_res=cat("has_res"),
+            inter=cat("inter"),
+            filter_flag=cat("filter_flag"),
+            strong_allowed=cat("strong_allowed"),
+            dc_edge=cat("dc_edge"),
+            ref_ys=np.concatenate([r for _, _, r in parts])[order],
+            ref_xs=cat("ref_xs"),
+            ref_ok=cat("ref_ok"),
+        )
+    preds = None
+    if any(pp.inter_pred is not None for pp in pps_):
+        preds = np.zeros((stride * F - GUARD, pw), np.int32)
+        for f, pp in enumerate(pps_):
+            if pp.inter_pred is not None:
+                preds[f * stride:f * stride + ph] = pp.inter_pred
+    merged.inter_pred = preds
+    return merged, stride, ph
 
 
 def reconstruct_tpu_scan_frames(tplans: list, use_mxu: bool = True):
     """Batched Stage B over F same-resolution frames -> list of [y,cb,cr]."""
     F = len(tplans)
+    if F == 1:
+        return [reconstruct_tpu_scan(tplans[0], use_mxu)]
     outs_per_frame = [[None] * 3 for _ in range(F)]
     for p_idx in range(3):
-        pps_ = [tp.planes[p_idx] for tp in tplans]
-        shape = pps_[0].shape
-        all_sizes = sorted({log2 for pp in pps_ for log2 in pp.batches})
-        if not all_sizes:
+        merged, stride, ph = _merge_tensor_plans(tplans, p_idx)
+        if not merged.batches:
             for f in range(F):
-                outs_per_frame[f][p_idx] = np.zeros(shape, np.int32)
+                outs_per_frame[f][p_idx] = np.zeros((ph, merged.shape[1]),
+                                                    np.int32)
             continue
-        stacked_f = []
-        res_f = []
-        n_steps_max = 0
-        caps = {}
-        per_frame = []
-        for pp in pps_:
-            n_steps, st = _stack_plane(pp)
-            n_steps_max = max(n_steps_max, n_steps)
-            per_frame.append((pp, n_steps, st))
-            for log2 in all_sizes:
-                if log2 in st:
-                    caps[log2] = max(caps.get(log2, 8), st[log2]["pos"].shape[1])
-        for log2 in all_sizes:
-            caps.setdefault(log2, 8)
-        ph, pw = shape
-        for pp, n_steps, st in per_frame:
-            frame_st = {}
-            frame_res = {}
-            for log2 in all_sizes:
-                size = 1 << log2
-                cap = caps[log2]
-                nref2 = 2 * (2 * size + 1)
-                if log2 in st:
-                    d = st[log2]
-                    n_s, c0 = d["pos"].shape[0], d["pos"].shape[1]
-                else:
-                    d = None
-                    n_s, c0 = 0, 0
-
-                def grow(a, fill, tail_shape):
-                    out = np.full((n_steps_max, cap) + tail_shape, fill,
-                                  a.dtype if a is not None else np.int32)
-                    if a is not None:
-                        out[:a.shape[0], :a.shape[1]] = a
-                    return out
-
-                pos = grow(d["pos"] if d else None, 0, (2,))
-                # pads (grown region) scatter into the guard area
-                if d is not None:
-                    mask = np.zeros((n_steps_max, cap), bool)
-                    mask[:n_s, :c0] = True
-                else:
-                    mask = np.zeros((n_steps_max, cap), bool)
-                pos[~mask] = (ph, 0)
-                frame_st[log2] = dict(
-                    pos=pos,
-                    ref_ys=grow(d["ref_ys"] if d else None, 0, (nref2,)),
-                    ref_xs=grow(d["ref_xs"] if d else None, 0, (nref2,)),
-                    ref_ok=grow(np.asarray(d["ref_ok"], bool) if d else None,
-                                False, (nref2,)).astype(bool),
-                    mode=grow(d["mode"] if d else None, 1, ()),
-                    filter_flag=grow(np.asarray(d["filter_flag"], bool) if d
-                                     else None, False, ()).astype(bool),
-                    strong_allowed=grow(np.asarray(d["strong_allowed"], bool)
-                                        if d else None, False, ()).astype(bool),
-                    inter=grow(np.asarray(d["inter"], bool) if d else None,
-                               False, ()).astype(bool),
-                )
-                # residual [n_steps_max, cap, s, s]
-                res = np.zeros((n_steps_max, cap, size, size), np.int32)
-                if log2 in pp.batches and d is not None:
-                    b = pp.batches[log2]
-                    r = np.asarray(batch_residual(
-                        jnp.asarray(b.coeffs), jnp.asarray(b.qp),
-                        jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2,
-                        use_mxu))
-                    rp = np.concatenate(
-                        [r, np.zeros((1,) + r.shape[1:], r.dtype)])
-                    res[:n_s, :c0] = rp[d["idx_map"]]
-                frame_res[log2] = res
-            pred = (pp.inter_pred if pp.inter_pred is not None
-                    else np.zeros((1, 1), np.int32))
-            # normalize pred shape across frames
-            pfull = np.zeros(shape, np.int32)
-            pfull[:pred.shape[0], :pred.shape[1]] = pred[:ph, :pw]
-            stacked_f.append(frame_st)
-            res_f.append(frame_res)
-        stack = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *stacked_f)
-        resid = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *res_f)
-        preds = jnp.asarray(np.stack(
-            [np.zeros(shape, np.int32) if pp.inter_pred is None else
-             pp.inter_pred for pp, *_ in per_frame]))
-        planes = _run_plane_batch(stack, resid, tuple(all_sizes),
-                                  min(p_idx, 1), shape, preds)
-        planes = np.asarray(planes)
+        # the merged "plane" already contains per-frame guard segments; the
+        # plain scan adds one more guard at the very bottom (harmless)
+        plane = reconstruct_tpu_scan_plane(merged, use_mxu)
         for f in range(F):
-            outs_per_frame[f][p_idx] = planes[f]
+            outs_per_frame[f][p_idx] = plane[f * stride:f * stride + ph]
     return outs_per_frame
+
+
+def reconstruct_tpu_scan_plane(pp, use_mxu: bool = True):
+    """Run the scan for a single PlanePlan; returns the np plane [shape]."""
+    n_steps, stacked = _stack_plane(pp)
+    residuals = {}
+    for log2, b in pp.batches.items():
+        res = batch_residual(
+            jnp.asarray(b.coeffs), jnp.asarray(b.qp),
+            jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu)
+        res = jnp.concatenate(
+            [res, jnp.zeros((1,) + res.shape[1:], res.dtype)])
+        residuals[log2] = res[jnp.asarray(stacked[log2]["idx_map"])]
+    dev_stacked = {
+        log2: {k: jnp.asarray(v) for k, v in d.items() if k != "idx_map"}
+        for log2, d in stacked.items()}
+    sizes = tuple(sorted(pp.batches.keys()))
+    pred = (None if pp.inter_pred is None else jnp.asarray(pp.inter_pred))
+    plane = _run_plane(dev_stacked, residuals, sizes,
+                       min(pp.plane_idx, 1), pp.shape, pred)
+    return np.asarray(plane)
