@@ -30,12 +30,26 @@ class DecodedFrame:
 
 
 class DecoderBase:
-    def __init__(self, apply_filters: bool = True):
+    """Shared decoder scaffolding: parsing, DPB, motion context, resilience,
+    checkpoint/resume, and per-run metrics (SURVEY.md 5 auxiliary subsystems).
+
+    error_resilient: on a corrupt slice (CABAC desync, illegal syntax), drop
+    data until the next IRAP and resume there -- the codec-native recovery
+    point (SURVEY.md 5 "failure detection / elastic recovery").
+    """
+
+    def __init__(self, apply_filters: bool = True,
+                 error_resilient: bool = False):
         self.sps_map = {}
         self.pps_map = {}
         self.apply_filters = apply_filters
+        self.error_resilient = error_resilient
         self.dpb: DPB | None = None
         self._decoded: list[DecodedFrame] = []
+        self._skip_until_irap = False
+        self.errors: list[str] = []
+        self.stats = {"frames": 0, "parse_s": 0.0, "recon_s": 0.0,
+                      "filter_s": 0.0, "slice_bytes": 0, "tus": 0, "ctbs": 0}
 
     # -- overridable reconstruction hooks -----------------------------------
     def _reconstruct(self, plan: FramePlan, refs: dict) -> list[np.ndarray]:
@@ -59,7 +73,44 @@ class DecoderBase:
             p = parse_pps(unit.rbsp)
             self.pps_map[p.pps_id] = p
         elif nal.is_slice_nal(t):
-            self._decode_slice(unit)
+            if self._skip_until_irap and not nal.is_irap(t):
+                return
+            if nal.is_irap(t):
+                self._skip_until_irap = False
+            if self.error_resilient:
+                try:
+                    self._decode_slice(unit)
+                except Exception as e:  # corrupt stream: resync at next IRAP
+                    self.errors.append(f"slice decode failed: {e!r}")
+                    self._skip_until_irap = True
+            else:
+                self._decode_slice(unit)
+
+    # -- checkpoint / resume (SURVEY.md 5): decoder state between access
+    # units is exactly {parameter sets, DPB contents, POC state} ------------
+    def save_state(self) -> dict:
+        import copy
+        return {
+            "sps_map": copy.deepcopy(self.sps_map),
+            "pps_map": copy.deepcopy(self.pps_map),
+            "dpb": copy.deepcopy(self.dpb),
+            "skip": self._skip_until_irap,
+        }
+
+    def load_state(self, state: dict) -> None:
+        import copy
+        self.sps_map = copy.deepcopy(state["sps_map"])
+        self.pps_map = copy.deepcopy(state["pps_map"])
+        self.dpb = copy.deepcopy(state["dpb"])
+        self._skip_until_irap = state["skip"]
+
+    def write_metrics(self, path: str) -> None:
+        import json
+        st = dict(self.stats)
+        if st["parse_s"]:
+            st["parse_mb_s"] = round(st["slice_bytes"] / st["parse_s"] / 1e6, 3)
+        with open(path, "a") as f:
+            f.write(json.dumps(st) + "\n")
 
     def flush(self) -> list[DecodedFrame]:
         """Output-order frames decoded so far."""
@@ -69,6 +120,8 @@ class DecoderBase:
         return [p.user for p in self.dpb.outputs]
 
     def _decode_slice(self, unit: nal.NalUnit) -> None:
+        import time as _time
+        t0 = _time.perf_counter()
         sh, sps, pps, off = parse_slice_header(
             unit.rbsp, unit.nal_type, self.sps_map, self.pps_map)
         if self.dpb is None:
@@ -104,12 +157,22 @@ class DecoderBase:
         plan.poc = poc
         plan.l0_pocs = [p.poc for p in l0]
         plan.l1_pocs = [p.poc for p in l1]
+        t1 = _time.perf_counter()
 
         refs = {p.poc: p.planes for p in self.dpb.pics if p.is_reference}
         prefilter = self._reconstruct(plan, refs)
+        t2 = _time.perf_counter()
         planes = [np.asarray(p).copy() for p in prefilter]
         if self.apply_filters:
             planes = self._filters(plan, planes)
+        t3 = _time.perf_counter()
+        self.stats["frames"] += 1
+        self.stats["parse_s"] += t1 - t0
+        self.stats["recon_s"] += t2 - t1
+        self.stats["filter_s"] += t3 - t2
+        self.stats["slice_bytes"] += len(unit.rbsp)
+        self.stats["tus"] += len(plan.tus)
+        self.stats["ctbs"] += sps.num_ctbs
 
         frame = DecodedFrame(poc, planes, prefilter, plan)
         pic = Picture(poc, planes,
