@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-BATCH = 8
+BATCH = 4
 
 
 def main():
@@ -64,7 +64,7 @@ def main():
     golden_dt = time.perf_counter() - t0
 
     print(json.dumps({
-        "metric": "416x240 intra stage-B frames/s/chip (bit-exact, batch=8)",
+        "metric": "416x240 intra stage-B frames/s/chip (bit-exact, batch=4)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(golden_dt / dt, 2),

@@ -39,11 +39,12 @@ class DecoderBase:
     """
 
     def __init__(self, apply_filters: bool = True,
-                 error_resilient: bool = False):
+                 error_resilient: bool = False, use_native_cabac: bool = True):
         self.sps_map = {}
         self.pps_map = {}
         self.apply_filters = apply_filters
         self.error_resilient = error_resilient
+        self.use_native_cabac = use_native_cabac
         self.dpb: DPB | None = None
         self._decoded: list[DecodedFrame] = []
         self._skip_until_irap = False
@@ -144,7 +145,12 @@ class DecoderBase:
                              [p.poc for p in l1], (h4, w4),
                              col_mv=col_mv, col_ref_poc=col_rp, col_poc=col_poc)
 
-        ctx = ContextModels(sh.init_type(), sh.slice_qp)
+        from p265_tpu import native as native_mod
+        use_native = self.use_native_cabac and native_mod.available()
+        if use_native:
+            ctx = native_mod.NativeContextModels(sh.init_type(), sh.slice_qp)
+        else:
+            ctx = ContextModels(sh.init_type(), sh.slice_qp)
         if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
             from p265_tpu.syntax.ctu import DecodeSubstreams
             provider = DecodeSubstreams(unit.rbsp[off:],
@@ -152,7 +158,11 @@ class DecoderBase:
             plan = parse_slice_data(None, sps, pps, sh, mctx,
                                     substreams=provider)
         else:
-            dec = CabacDecoder(BitReader(unit.rbsp[off:]), ctx)
+            if use_native:
+                dec = native_mod.NativeCabacDecoder(
+                    BitReader(unit.rbsp[off:]), ctx)
+            else:
+                dec = CabacDecoder(BitReader(unit.rbsp[off:]), ctx)
             plan = parse_slice_data(dec, sps, pps, sh, mctx)
         plan.poc = poc
         plan.l0_pocs = [p.poc for p in l0]
@@ -194,12 +204,29 @@ class GoldenDecoder(DecoderBase):
     pass
 
 
+def bypass_pixel_masks(plan: FramePlan):
+    """Per-plane boolean masks of samples the loop filters must not modify
+    (cu_transquant_bypass / PCM with pcm_loop_filter_disabled, spec 8.7)."""
+    bm = plan.bypass_map
+    if bm is None or not bm.any():
+        return None
+    h, w = plan.sps.pic_height, plan.sps.pic_width
+    y = np.repeat(np.repeat(bm.astype(bool), 4, 0), 4, 1)[:h, :w]
+    c = y[::2, ::2]
+    return [y, c, c.copy()]
+
+
 def apply_loop_filters(plan: FramePlan, planes: list[np.ndarray]
                        ) -> list[np.ndarray]:
     from p265_tpu.golden.deblock import deblock_picture
     from p265_tpu.golden.sao import sao_picture
+    masks = bypass_pixel_masks(plan)
+    orig = [np.asarray(p).copy() for p in planes] if masks else None
     if not plan.sh.deblocking_filter_disabled:
         planes = deblock_picture(plan, planes)
     if plan.sps.sao_enabled and (plan.sh.sao_luma or plan.sh.sao_chroma):
         planes = sao_picture(plan, planes)
+    if masks:
+        planes = [np.where(m, o, np.asarray(p))
+                  for m, o, p in zip(masks, orig, planes)]
     return planes

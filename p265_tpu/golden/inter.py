@@ -69,3 +69,49 @@ def combine_bi(pred0: np.ndarray, pred1: np.ndarray) -> np.ndarray:
     """Bi-prediction average: (a + b + 64) >> 7, clipped."""
     s = pred0.astype(np.int64) + pred1.astype(np.int64)
     return np.clip((s + OFFSET_BI) >> SHIFT_BI, 0, 255).astype(np.int32)
+
+
+def combine_uni_weighted(pred: np.ndarray, w: int, o: int, log2_denom: int
+                         ) -> np.ndarray:
+    """Explicit weighted uni-prediction (spec 8.5.4.2.3)."""
+    log2_wd = log2_denom + (14 - BIT_DEPTH)
+    p = pred.astype(np.int64) * w
+    if log2_wd >= 1:
+        p = (p + (1 << (log2_wd - 1))) >> log2_wd
+    return np.clip(p + o, 0, 255).astype(np.int32)
+
+
+def combine_bi_weighted(p0: np.ndarray, p1: np.ndarray, w0: int, o0: int,
+                        w1: int, o1: int, log2_denom: int) -> np.ndarray:
+    """Explicit weighted bi-prediction (spec 8.5.4.2.3)."""
+    log2_wd = log2_denom + (14 - BIT_DEPTH)
+    s = (p0.astype(np.int64) * w0 + p1.astype(np.int64) * w1
+         + ((o0 + o1 + 1) << log2_wd))
+    return np.clip(s >> (log2_wd + 1), 0, 255).astype(np.int32)
+
+
+def combine_pu(luma_parts, cb_parts, cr_parts, motion, wt):
+    """Combine per-list 14-bit MC intermediates for one PU.
+
+    wt: WeightTable or None (default prediction).  Returns (y, cb, cr)."""
+    used = [lx for lx in range(2) if motion.uses(lx)]
+    if wt is None:
+        if len(used) == 2:
+            return (combine_bi(*luma_parts), combine_bi(*cb_parts),
+                    combine_bi(*cr_parts))
+        return (combine_uni(luma_parts[0]), combine_uni(cb_parts[0]),
+                combine_uni(cr_parts[0]))
+    ents = [wt.get(lx, motion.ref_idx[lx]) for lx in used]
+    if len(used) == 2:
+        e0, e1 = ents
+        return (
+            combine_bi_weighted(luma_parts[0], luma_parts[1], e0[0], e0[1],
+                                e1[0], e1[1], wt.luma_log2_denom),
+            combine_bi_weighted(cb_parts[0], cb_parts[1], e0[2], e0[3],
+                                e1[2], e1[3], wt.chroma_log2_denom),
+            combine_bi_weighted(cr_parts[0], cr_parts[1], e0[4], e0[5],
+                                e1[4], e1[5], wt.chroma_log2_denom))
+    e = ents[0]
+    return (combine_uni_weighted(luma_parts[0], e[0], e[1], wt.luma_log2_denom),
+            combine_uni_weighted(cb_parts[0], e[2], e[3], wt.chroma_log2_denom),
+            combine_uni_weighted(cr_parts[0], e[4], e[5], wt.chroma_log2_denom))

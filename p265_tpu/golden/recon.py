@@ -10,7 +10,8 @@ from __future__ import annotations
 import numpy as np
 
 from p265_tpu.golden.intra import intra_predict_tu
-from p265_tpu.golden.inter import (combine_bi, combine_uni, mc_chroma, mc_luma)
+from p265_tpu.golden.inter import (combine_bi, combine_pu, combine_uni,
+                                   mc_chroma, mc_luma)
 from p265_tpu.golden.transform import (dequant, inverse_transform,
                                        transform_skip_residual)
 from p265_tpu.syntax.ctu import FramePlan
@@ -26,14 +27,23 @@ def tu_qp(plan: FramePlan, c_idx: int, luma_qp: int) -> int:
 
 
 def build_inter_pred(plan: FramePlan, refs: dict) -> list[np.ndarray] | None:
-    """MC prediction planes for every inter PU.  refs: poc -> [y, cb, cr]."""
-    if not plan.pus:
+    """MC prediction planes for every inter PU + raw PCM sample blocks.
+
+    refs: poc -> [y, cb, cr].  PCM blocks execute in the no-dependency class
+    (like MC): their samples are placed into the prediction planes and the
+    TU records are pred_only."""
+    pcm_tus = [t for t in plan.tus if t.pcm]
+    if not plan.pus and not pcm_tus:
         return None
     sps = plan.sps
     w, h = sps.pic_width, sps.pic_height
     pred = [np.zeros((h, w), np.int32),
             np.zeros((h >> 1, w >> 1), np.int32),
             np.zeros((h >> 1, w >> 1), np.int32)]
+    wt = None
+    if ((plan.pps.weighted_pred and plan.sh.slice_type == 1)
+            or (plan.pps.weighted_bipred and plan.sh.slice_type == 0)):
+        wt = plan.sh.pred_weights
     for pu in plan.pus:
         m = pu.motion
         luma_parts = []
@@ -49,18 +59,15 @@ def build_inter_pred(plan: FramePlan, refs: dict) -> list[np.ndarray] | None:
                 chroma_parts[ci - 1].append(
                     mc_chroma(ref_planes[ci], pu.x >> 1, pu.y >> 1,
                               pu.w >> 1, pu.h >> 1, mvx, mvy))
-        if len(luma_parts) == 2:
-            py = combine_bi(*luma_parts)
-            pcb = combine_bi(*chroma_parts[0])
-            pcr = combine_bi(*chroma_parts[1])
-        else:
-            py = combine_uni(luma_parts[0])
-            pcb = combine_uni(chroma_parts[0][0])
-            pcr = combine_uni(chroma_parts[1][0])
+        py, pcb, pcr = combine_pu(luma_parts, chroma_parts[0],
+                                  chroma_parts[1], m, wt)
         pred[0][pu.y:pu.y + pu.h, pu.x:pu.x + pu.w] = py
         cy, cx, cw, ch = pu.y >> 1, pu.x >> 1, pu.w >> 1, pu.h >> 1
         pred[1][cy:cy + ch, cx:cx + cw] = pcb
         pred[2][cy:cy + ch, cx:cx + cw] = pcr
+    for t in pcm_tus:
+        sz = 1 << t.log2
+        pred[t.c_idx][t.y:t.y + sz, t.x:t.x + sz] = t.levels
     return pred
 
 
@@ -98,6 +105,9 @@ def reconstruct_tu(plan: FramePlan, tu, planes, avails, inter_pred=None) -> None
                                 tu.c_idx, plan.sps.strong_intra_smoothing)
     if tu.pred_only:
         rec = pred
+    elif tu.bypass:
+        # transquant bypass: coded levels ARE the spatial residual (lossless)
+        rec = np.clip(pred + tu.levels, 0, 255)
     else:
         qp = tu_qp(plan, tu.c_idx, tu.qp)
         d = dequant(tu.levels, qp, tu.log2)

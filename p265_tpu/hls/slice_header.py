@@ -14,6 +14,80 @@ SLICE_I = 2
 
 
 @dataclass
+class WeightTable:
+    """Explicit weighted prediction parameters (spec 7.3.6.3, 7.4.7.3)."""
+    luma_log2_denom: int = 6
+    chroma_log2_denom: int = 6
+    # per list, per ref idx: (luma_w, luma_o, cb_w, cb_o, cr_w, cr_o)
+    entries: list = field(default_factory=lambda: [[], []])
+
+    def get(self, lx: int, ridx: int):
+        ents = self.entries[lx]
+        if ridx < len(ents):
+            return ents[ridx]
+        return (1 << self.luma_log2_denom, 0,
+                1 << self.chroma_log2_denom, 0,
+                1 << self.chroma_log2_denom, 0)
+
+
+def write_pred_weight_table(w: BitWriter, wt: WeightTable, h: "SliceHeader") -> None:
+    w.ue(wt.luma_log2_denom)
+    w.se(wt.chroma_log2_denom - wt.luma_log2_denom)
+    n_lists = 2 if h.slice_type == SLICE_B else 1
+    for lx in range(n_lists):
+        n_ref = h.num_ref_idx_l0_active if lx == 0 else h.num_ref_idx_l1_active
+        ents = [wt.get(lx, i) for i in range(n_ref)]
+        ld = 1 << wt.luma_log2_denom
+        cd = 1 << wt.chroma_log2_denom
+        lflags = [int(e[0] != ld or e[1] != 0) for e in ents]
+        cflags = [int(e[2] != cd or e[3] != 0 or e[4] != cd or e[5] != 0)
+                  for e in ents]
+        for f in lflags:
+            w.u(f, 1)
+        for f in cflags:
+            w.u(f, 1)
+        for e, lf, cf in zip(ents, lflags, cflags):
+            if lf:
+                w.se(e[0] - ld)
+                w.se(e[1])
+            if cf:
+                for (cw, co) in ((e[2], e[3]), (e[4], e[5])):
+                    w.se(cw - cd)
+                    # invert eq 7-34: delta = o + ((128*w)>>denom) - 128
+                    w.se(co + ((128 * cw) >> wt.chroma_log2_denom) - 128)
+
+
+def parse_pred_weight_table(r: BitReader, h: "SliceHeader") -> WeightTable:
+    wt = WeightTable()
+    wt.luma_log2_denom = r.ue()
+    wt.chroma_log2_denom = wt.luma_log2_denom + r.se()
+    n_lists = 2 if h.slice_type == SLICE_B else 1
+    for lx in range(n_lists):
+        n_ref = h.num_ref_idx_l0_active if lx == 0 else h.num_ref_idx_l1_active
+        lflags = [r.u(1) for _ in range(n_ref)]
+        cflags = [r.u(1) for _ in range(n_ref)]
+        ld = 1 << wt.luma_log2_denom
+        cd = 1 << wt.chroma_log2_denom
+        for i in range(n_ref):
+            lw, lo = ld, 0
+            cbw, cbo, crw, cro = cd, 0, cd, 0
+            if lflags[i]:
+                lw = ld + r.se()
+                lo = r.se()
+            if cflags[i]:
+                cbw = cd + r.se()
+                d = r.se()
+                cbo = max(-128, min(127, d - ((128 * cbw)
+                                              >> wt.chroma_log2_denom) + 128))
+                crw = cd + r.se()
+                d = r.se()
+                cro = max(-128, min(127, d - ((128 * crw)
+                                              >> wt.chroma_log2_denom) + 128))
+            wt.entries[lx].append((lw, lo, cbw, cbo, crw, cro))
+    return wt
+
+
+@dataclass
 class SliceHeader:
     nal_type: int = nal.NAL_IDR_W_RADL
     first_slice_in_pic: bool = True
@@ -42,6 +116,7 @@ class SliceHeader:
     collocated_from_l0: bool = True
     collocated_ref_idx: int = 0
     five_minus_max_num_merge_cand: int = 0
+    pred_weights: "WeightTable | None" = None
     slice_qp: int = 26
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
@@ -131,7 +206,7 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS) -> None
                     w.ue(h.collocated_ref_idx)
             if ((pps.weighted_pred and h.slice_type == SLICE_P)
                     or (pps.weighted_bipred and h.slice_type == SLICE_B)):
-                raise NotImplementedError("pred_weight_table not in writer yet")
+                write_pred_weight_table(w, h.pred_weights or WeightTable(), h)
             w.ue(h.five_minus_max_num_merge_cand)
         w.se(h.slice_qp - 26 - (pps.init_qp - 26))
         if pps.slice_chroma_qp_offsets_present:
@@ -224,7 +299,7 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps_map: dict[int, SPS],
                     h.collocated_ref_idx = r.ue()
             if ((pps.weighted_pred and h.slice_type == SLICE_P)
                     or (pps.weighted_bipred and h.slice_type == SLICE_B)):
-                raise NotImplementedError("pred_weight_table not supported yet")
+                h.pred_weights = parse_pred_weight_table(r, h)
             h.five_minus_max_num_merge_cand = r.ue()
         h.slice_qp = 26 + (pps.init_qp - 26) + r.se()
         if pps.slice_chroma_qp_offsets_present:

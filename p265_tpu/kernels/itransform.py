@@ -71,8 +71,8 @@ def _imatmul_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("log2", "use_mxu"))
 def batch_residual(levels: jnp.ndarray, qp: jnp.ndarray, is_dst: jnp.ndarray,
-                   tskip: jnp.ndarray, log2: int, use_mxu: bool = True
-                   ) -> jnp.ndarray:
+                   tskip: jnp.ndarray, log2: int, use_mxu: bool = True,
+                   bypass: jnp.ndarray | None = None) -> jnp.ndarray:
     """[n,s,s] quantized levels -> [n,s,s] int32 spatial residual, bit-exact."""
     d = _dequant(levels, qp, log2)
     dct, dst = _mats(log2)
@@ -96,4 +96,6 @@ def batch_residual(levels: jnp.ndarray, qp: jnp.ndarray, is_dst: jnp.ndarray,
         ts = (jnp.left_shift(d, 7) + (1 << (shift2 - 1))) >> shift2
         ts = jnp.clip(ts, -32768, 32767)
         res = jnp.where(tskip[:, None, None], ts, res)
+    if bypass is not None:
+        res = jnp.where(bypass[:, None, None], levels, res)
     return res

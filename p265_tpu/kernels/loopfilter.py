@@ -302,9 +302,15 @@ def sao_tpu(plan: FramePlan, planes: list) -> list:
 
 
 def loop_filters_tpu(plan: FramePlan, planes: list) -> list:
+    from p265_tpu.golden.decoder import bypass_pixel_masks
+    masks = bypass_pixel_masks(plan)
+    orig = [np.asarray(p).copy() for p in planes] if masks else None
     out = [jnp.asarray(p) for p in planes]
     if not plan.sh.deblocking_filter_disabled:
         out = deblock_tpu(plan, out)
     if plan.sps.sao_enabled and (plan.sh.sao_luma or plan.sh.sao_chroma):
         out = sao_tpu(plan, out)
-    return [np.asarray(p) for p in out]
+    res = [np.asarray(p) for p in out]
+    if masks:
+        res = [np.where(m, o, p) for m, o, p in zip(masks, orig, res)]
+    return res

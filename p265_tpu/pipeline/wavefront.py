@@ -115,7 +115,8 @@ def reconstruct_tpu_scan(tplan: TensorPlan, use_mxu: bool = True):
         for log2, b in pp.batches.items():
             res = batch_residual(
                 jnp.asarray(b.coeffs), jnp.asarray(b.qp),
-                jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu)
+                jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu,
+                bypass=jnp.asarray(b.bypass))
             res = jnp.concatenate(
                 [res, jnp.zeros((1,) + res.shape[1:], res.dtype)])
             residuals[log2] = res[jnp.asarray(stacked[log2]["idx_map"])]
@@ -179,6 +180,7 @@ def _merge_tensor_plans(tplans: list, p_idx: int):
             is_dst=cat("is_dst"),
             tskip=cat("tskip"),
             has_res=cat("has_res"),
+            bypass=cat("bypass"),
             inter=cat("inter"),
             filter_flag=cat("filter_flag"),
             strong_allowed=cat("strong_allowed"),
@@ -225,7 +227,8 @@ def reconstruct_tpu_scan_plane(pp, use_mxu: bool = True):
     for log2, b in pp.batches.items():
         res = batch_residual(
             jnp.asarray(b.coeffs), jnp.asarray(b.qp),
-            jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu)
+            jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu,
+            bypass=jnp.asarray(b.bypass))
         res = jnp.concatenate(
             [res, jnp.zeros((1,) + res.shape[1:], res.dtype)])
         residuals[log2] = res[jnp.asarray(stacked[log2]["idx_map"])]

@@ -40,6 +40,7 @@ class TuBatch:
     is_dst: np.ndarray     # [n] bool
     tskip: np.ndarray      # [n] bool
     has_res: np.ndarray    # [n] bool
+    bypass: np.ndarray     # [n] bool: levels are the residual (lossless CU)
     inter: np.ndarray      # [n] bool: prediction comes from the MC pred plane
     filter_flag: np.ndarray    # [n] bool ([1 2 1] smoothing)
     strong_allowed: np.ndarray  # [n] bool (32x32 luma + sps flag)
@@ -95,7 +96,7 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None) -> TensorPlan:
     w, h = sps.pic_width, sps.pic_height
     shapes = [(h, w), (h >> 1, w >> 1), (h >> 1, w >> 1)]
     inter_pred = None
-    if plan.pus:
+    if plan.pus or any(t.pcm for t in plan.tus):
         from p265_tpu.golden.recon import build_inter_pred
         inter_pred = build_inter_pred(plan, refs or {})
     planes = []
@@ -185,7 +186,7 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None) -> TensorPlan:
                 pos=np.array([[t.y, t.x] for t, *_ in rows], np.int32),
                 step=np.array([s for _, s, *_ in rows], np.int32),
                 coeffs=np.stack([
-                    (t.levels if t.levels is not None
+                    (t.levels if (t.levels is not None and not t.pred_only)
                      else np.zeros((size, size), np.int32)) for t, *_ in rows]),
                 qp=np.array([tu_qp(plan, p_idx, t.qp) for t, *_ in rows], np.int32),
                 mode=np.array([t.mode for t, *_ in rows], np.int32),
@@ -195,6 +196,7 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None) -> TensorPlan:
                 tskip=np.array([t.tskip for t, *_ in rows], bool),
                 has_res=np.array([not t.pred_only for t, *_ in rows], bool),
                 inter=np.array([t.is_inter for t, *_ in rows], bool),
+                bypass=np.array([t.bypass for t, *_ in rows], bool),
                 filter_flag=np.array(
                     [_filter_flag(t.mode, size, p_idx) for t, *_ in rows], bool),
                 strong_allowed=np.array(

@@ -60,7 +60,8 @@ def _pad_stream_plane(pp, sizes, n_steps, caps, use_mxu):
             b = pp.batches[log2]
             r = np.asarray(batch_residual(
                 jnp.asarray(b.coeffs), jnp.asarray(b.qp),
-                jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu))
+                jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu,
+                bypass=jnp.asarray(b.bypass)))
             rp = np.concatenate([r, np.zeros((1,) + r.shape[1:], r.dtype)])
             got = rp[d["idx_map"]]
             res[:got.shape[0], :got.shape[1]] = got

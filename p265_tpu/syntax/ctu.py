@@ -63,6 +63,8 @@ class TuRec:
     pred_only: bool = False
     is_inter: bool = False
     tile: int = 0
+    bypass: bool = False   # cu_transquant_bypass: levels ARE the residual
+    pcm: bool = False      # raw PCM samples in `levels` (is_inter-class exec)
 
 
 @dataclass
@@ -105,6 +107,7 @@ class FramePlan:
     mv_map: np.ndarray | None = None     # [h4,w4,2,2] (wired from MotionCtx)
     ref_map: np.ndarray | None = None    # [h4,w4,2] ref POCs, NO_REF unused
     tile_map4: np.ndarray | None = None  # [h4,w4] tile id per 4x4 luma block
+    bypass_map: np.ndarray | None = None # [h4,w4] cu_transquant_bypass
     tile_tu_starts: list[int] = field(default_factory=list)  # TU idx per tile start
 
     def grid_shape(self) -> tuple[int, int]:
@@ -119,6 +122,7 @@ class FramePlan:
         self.cbf_map = np.zeros((h4, w4), np.int32)
         self.edge_flags = np.zeros((h4, w4), np.int32)
         self.skip_map = np.zeros((h4, w4), np.int32)
+        self.bypass_map = np.zeros((h4, w4), np.int32)  # lossless CUs: no filters
 
 
 class _SyntaxIO:
@@ -184,8 +188,12 @@ class DecodeSubstreams:
         self.ctx = ctx
 
     def get(self, i: int):
-        from p265_tpu.entropy.engine import CabacDecoder
         from p265_tpu.hls.bitio import BitReader
+        from p265_tpu import native as native_mod
+        if isinstance(self.ctx, native_mod.NativeContextModels):
+            return native_mod.NativeCabacDecoder(BitReader(self.chunks[i]),
+                                                 self.ctx)
+        from p265_tpu.entropy.engine import CabacDecoder
         return CabacDecoder(BitReader(self.chunks[i]), self.ctx)
 
 
@@ -257,6 +265,7 @@ class CtuCoder:
             tm[yc >> 2:(y1 + 3) >> 2, xc >> 2:(x1 + 3) >> 2] =                 self.tile_info.tile_of_ctb[addr]
         plan.tile_map4 = tm
         self.tile_map4 = tm
+        self.cu_bypass = False
         self.mctx = mctx
         if mctx is not None:
             plan.mv_map = mctx.mv
@@ -457,8 +466,13 @@ class CtuCoder:
     def _coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
         sps = self.sps
         size = 1 << log2_size
+        self.cu_bypass = False
         if self.pps.transquant_bypass_enabled:
-            raise NotImplementedError("cu_transquant_bypass_flag")
+            want = (int(self.planner.cu_bypass(x0, y0)) if self.is_enc else None)
+            self.cu_bypass = bool(self.io.flag("cu_transquant_bypass_flag", 0,
+                                               want))
+            if self.cu_bypass:
+                self._set_map(self.plan.bypass_map, x0, y0, size, v=1)
         if self.sh.slice_type != SLICE_I:
             inc = 0
             if self._avail_at(x0 - 1, y0):
@@ -488,6 +502,63 @@ class CtuCoder:
             self._inter_cu(x0, y0, log2_size)
 
     # ------------------------------------------------------------------ intra
+    def _pcm_cu(self, x0: int, y0: int, log2_size: int) -> None:
+        """pcm_sample parsing/writing (spec 7.3.8.7) + engine restart (9.3.1).
+
+        Framing note: after the encoder's terminate-flush the decoder's raw
+        bit position equals the encoder's written bit count exactly (verified
+        property of this engine pair), so byte alignment on both sides lands
+        on the same boundary.
+        """
+        sps = self.sps
+        size = 1 << log2_size
+        shift = 8 - sps.pcm_bit_depth
+        recs = [(x0, y0, log2_size, 0, size),
+                (x0 >> 1, y0 >> 1, log2_size - 1, 1, size >> 1),
+                (x0 >> 1, y0 >> 1, log2_size - 1, 2, size >> 1)]
+        if self.is_enc:
+            eng = self.engine
+            w = eng.w
+            w.align_zero()  # pcm_alignment_zero_bit
+            for (px, py, plog2, c, psz) in recs:
+                tu = next(self._tu_iter)
+                assert tu.pcm and (tu.x, tu.y, tu.c_idx) == (px, py, c)
+                for row in np.asarray(tu.levels) >> shift:
+                    for v in row:
+                        w.u(int(v), sps.pcm_bit_depth)
+            from p265_tpu.entropy.engine import CabacEncoder
+            self.engine = CabacEncoder(w, eng.ctx)
+        else:
+            if hasattr(self.engine, "sync_reader"):
+                self.engine.sync_reader()
+            r = self.engine.r
+            r.align()
+            for (px, py, plog2, c, psz) in recs:
+                samples = np.empty((psz, psz), np.int32)
+                for yy in range(psz):
+                    for xx in range(psz):
+                        samples[yy, xx] = r.read_bits(sps.pcm_bit_depth) << shift
+                self.plan.tus.append(
+                    TuRec(px, py, plog2, c, 1, samples, qp=self.sh.slice_qp,
+                          pred_only=True, is_inter=True, pcm=True,
+                          tile=self.cur_tile))
+            from p265_tpu import native as native_mod
+            if isinstance(self.engine.ctx, native_mod.NativeContextModels):
+                self.engine = native_mod.NativeCabacDecoder(r, self.engine.ctx)
+            else:
+                from p265_tpu.entropy.engine import CabacDecoder
+                self.engine = CabacDecoder(r, self.engine.ctx)
+        self.io.e = self.engine
+        # neighbor-facing state: PCM CUs count as intra with DC mode
+        self._set_map(self.plan.intra_map, x0, y0, size, v=1)
+        self._set_map(self.mode_map, x0, y0, size, v=1)
+        self._set_map(self.plan.qp_map, x0, y0, size, v=self.sh.slice_qp)
+        self._set_map(self.plan.cbf_map, x0, y0, size, v=0)
+        if sps.pcm_loop_filter_disabled:
+            self._set_map(self.plan.bypass_map, x0, y0, size, v=1)
+        self._set_edges(x0, y0, size)
+        self._mark(x0, y0, size)
+
     def _intra_cu(self, x0: int, y0: int, log2_size: int) -> None:
         sps = self.sps
         size = 1 << log2_size
@@ -497,6 +568,12 @@ class CtuCoder:
             bin0 = self.io.flag("part_mode", 0,
                                 None if want is None else 1 - want)
             part_nxn = 1 - bin0
+        if (sps.pcm_enabled and not part_nxn and not self.cu_bypass
+                and sps.pcm_log2_min_size <= log2_size <= sps.pcm_log2_max_size):
+            want = (int(self.planner.pcm(x0, y0)) if self.is_enc else None)
+            if self.io.terminate(want):  # pcm_flag is a terminate bin
+                self._pcm_cu(x0, y0, log2_size)
+                return
         n_pu = 4 if part_nxn else 1
         pb = size >> 1 if part_nxn else size
         pus = [(x0 + (i & 1) * pb, y0 + (i >> 1) * pb) for i in range(n_pu)]
@@ -895,15 +972,17 @@ class CtuCoder:
             encode_residual(self.engine, tu.levels, log2, c_idx, scan,
                             transform_skip_allowed=pps.transform_skip_enabled,
                             sign_data_hiding=pps.sign_data_hiding,
-                            tq_bypass=False, tskip=tu.tskip)
+                            tq_bypass=self.cu_bypass, tskip=tu.tskip)
         else:
             levels, tskip = decode_residual(
                 self.engine, log2, c_idx, scan,
                 transform_skip_allowed=pps.transform_skip_enabled,
-                sign_data_hiding=pps.sign_data_hiding, tq_bypass=False)
+                sign_data_hiding=pps.sign_data_hiding,
+                tq_bypass=self.cu_bypass)
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, levels, tskip,
                                        qp, is_inter=is_inter,
-                                       tile=self.cur_tile))
+                                       tile=self.cur_tile,
+                                       bypass=self.cu_bypass))
 
 
 def parse_slice_data(dec, sps: SPS, pps: PPS, sh: SliceHeader,

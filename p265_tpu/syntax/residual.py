@@ -101,6 +101,10 @@ def _prefix_suffix_from_last(v: int) -> tuple[int, int, int]:
 def decode_residual(dec: CabacDecoder, log2_size: int, c_idx: int, scan_idx: int,
                     *, transform_skip_allowed: bool, sign_data_hiding: bool,
                     tq_bypass: bool) -> tuple[np.ndarray, bool]:
+    if hasattr(dec, "native_residual"):
+        return dec.native_residual(log2_size, c_idx, scan_idx,
+                                   transform_skip_allowed, sign_data_hiding,
+                                   tq_bypass)
     size = 1 << log2_size
     levels = np.zeros((size, size), dtype=np.int32)
 

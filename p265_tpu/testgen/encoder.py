@@ -18,7 +18,8 @@ import numpy as np
 
 from p265_tpu.entropy.engine import CabacEncoder, ContextModels
 from p265_tpu.golden.decoder import apply_loop_filters
-from p265_tpu.golden.inter import combine_bi, combine_uni, mc_chroma, mc_luma
+from p265_tpu.golden.inter import (combine_bi, combine_pu, combine_uni,
+                                   mc_chroma, mc_luma)
 from p265_tpu.golden.intra import intra_predict_tu
 from p265_tpu.golden.mv import (Motion, MotionCtx, NO_REF, derive_amvp,
                                 derive_merge_list)
@@ -32,7 +33,7 @@ from p265_tpu.hls.bitio import BitWriter
 from p265_tpu.hls.params import (PPS, SPS, ShortTermRPS, write_pps, write_sps,
                                  write_vps)
 from p265_tpu.hls.slice_header import (SLICE_B, SLICE_I, SLICE_P, SliceHeader,
-                                       write_slice_header)
+                                       WeightTable, write_slice_header)
 from p265_tpu.syntax.ctu import (CtuCoder, EncodeSubstreams, FramePlan, PuRec,
                                  SaoRec, TuRec, pu_rects, wrap_mv)
 from p265_tpu.syntax.tiles import build_tile_info
@@ -54,6 +55,8 @@ class EncPlanner:
     inter_parts: dict = field(default_factory=dict)
     pu_plans: dict = field(default_factory=dict)     # (x,y) -> dict
     rqt_roots: dict = field(default_factory=dict)
+    cu_bypasses: dict = field(default_factory=dict)
+    pcms: dict = field(default_factory=dict)
 
     def cu_split(self, x0, y0, log2, depth):
         return self.cu_splits[(x0, y0, log2)]
@@ -87,6 +90,12 @@ class EncPlanner:
 
     def rqt_root(self, x0, y0):
         return self.rqt_roots[(x0, y0)]
+
+    def cu_bypass(self, x0, y0):
+        return self.cu_bypasses.get((x0, y0), False)
+
+    def pcm(self, x0, y0):
+        return self.pcms.get((x0, y0), False)
 
 
 @dataclass
@@ -152,6 +161,21 @@ class Encoder:
         sh.tc_offset_div2 = pps.tc_offset_div2
         sh.num_ref_idx_l0_active = max(1, len(l0_pocs))
         sh.num_ref_idx_l1_active = max(1, len(l1_pocs))
+        self.weights = None
+        if ((pps.weighted_pred and slice_type == SLICE_P)
+                or (pps.weighted_bipred and slice_type == SLICE_B)):
+            # exercise explicit WP with mild per-ref weights/offsets
+            wrng = np.random.default_rng(self.seed + poc * 7 + 5)
+            wt = WeightTable(luma_log2_denom=6, chroma_log2_denom=6)
+            for lx, pocs in ((0, l0_pocs), (1, l1_pocs)):
+                for _ in pocs:
+                    lw = 64 + int(wrng.integers(-8, 9))
+                    lo = int(wrng.integers(-10, 11))
+                    cw = 64 + int(wrng.integers(-6, 7))
+                    co = int(wrng.integers(-6, 7))
+                    wt.entries[lx].append((lw, lo, cw, co, cw, co))
+            sh.pred_weights = wt
+            self.weights = wt
         if not is_idr:
             # explicit RPS: current refs (used=1) + later-needed pics (used=0)
             all_pocs = sorted(set(used_pocs) | set(keep_pocs))
@@ -353,6 +377,10 @@ class Encoder:
 
     # -- CU planning ---------------------------------------------------------
     def _plan_cu(self, x0, y0, log2_size):
+        self._cur_bypass = False
+        if self.pps.transquant_bypass_enabled:
+            self._cur_bypass = bool(self.rng.random() < 0.25)
+            self.planner.cu_bypasses[(x0, y0)] = self._cur_bypass
         if self.slice_type == SLICE_I:
             self.planner.cu_skips[(x0, y0)] = False
             self._plan_intra_cu(x0, y0, log2_size)
@@ -380,6 +408,13 @@ class Encoder:
         if log2_size == sps.log2_min_cb_size:
             part_nxn = bool(self.rng.random() < 0.4)
             self.planner.part_nxns[(x0, y0)] = part_nxn
+        if (sps.pcm_enabled and not part_nxn and not self._cur_bypass
+                and sps.pcm_log2_min_size <= log2_size <= sps.pcm_log2_max_size):
+            use_pcm = bool(self.rng.random() < 0.3)
+            self.planner.pcms[(x0, y0)] = use_pcm
+            if use_pcm:
+                self._plan_pcm_cu(x0, y0, log2_size)
+                return
         n_pu = 4 if part_nxn else 1
         pb = size >> 1 if part_nxn else size
 
@@ -402,6 +437,28 @@ class Encoder:
         self._plan_tt(x0, y0, x0, y0, log2_size, 0, 0, modes, chroma_mode,
                       intra_split, max_depth, None)
 
+    def _plan_pcm_cu(self, x0, y0, log2_size):
+        sps = self.sps
+        size = 1 << log2_size
+        shift = 8 - sps.pcm_bit_depth
+        for (px, py, plog2, c, psz) in ((x0, y0, log2_size, 0, size),
+                                        (x0 >> 1, y0 >> 1, log2_size - 1, 1,
+                                         size >> 1),
+                                        (x0 >> 1, y0 >> 1, log2_size - 1, 2,
+                                         size >> 1)):
+            samples = ((self.orig[c][py:py + psz, px:px + psz] >> shift)
+                       << shift).astype(np.int32)
+            self.plan.tus.append(TuRec(px, py, plog2, c, 1, samples,
+                                       qp=self.qp, pred_only=True,
+                                       is_inter=True, pcm=True,
+                                       tile=self.cur_tile))
+            self.rec[c][py:py + psz, px:px + psz] = samples
+            self.avail[c][py >> 2:(py + psz) >> 2, px >> 2:(px + psz) >> 2] = True
+        self.plan.intra_mode_map[y0 >> 2:(y0 + size) >> 2,
+                                 x0 >> 2:(x0 + size) >> 2] = 1
+        self.plan.intra_map[y0 >> 2:(y0 + size) >> 2,
+                            x0 >> 2:(x0 + size) >> 2] = 1
+
     def _set_intra_maps(self, x0, y0, size, modes, pb):
         g = self.plan
         x1 = min(x0 + size, self.sps.pic_width)
@@ -423,9 +480,7 @@ class Encoder:
             luma.append(mc_luma(ref[0], x, y, w, h, mvx, mvy))
             cbs.append(mc_chroma(ref[1], x >> 1, y >> 1, w >> 1, h >> 1, mvx, mvy))
             crs.append(mc_chroma(ref[2], x >> 1, y >> 1, w >> 1, h >> 1, mvx, mvy))
-        if len(luma) == 2:
-            return combine_bi(*luma), combine_bi(*cbs), combine_bi(*crs)
-        return combine_uni(luma[0]), combine_uni(cbs[0]), combine_uni(crs[0])
+        return combine_pu(luma, cbs, crs, m, self.weights)
 
     def _luma_mc_cost(self, ref_plane, x, y, w, h, mvx, mvy, orig):
         pred = combine_uni(mc_luma(ref_plane, x, y, w, h, mvx, mvy))
@@ -713,7 +768,10 @@ class Encoder:
         resid = orig - pred
         qp = tu_qp(self.plan, c_idx, self.qp)
         tskip = False
-        if (self.pps.transform_skip_enabled and log2 == 2
+        bypass = getattr(self, "_cur_bypass", False)
+        if bypass:
+            levels = resid.astype(np.int32)  # lossless: levels ARE the residual
+        elif (self.pps.transform_skip_enabled and log2 == 2
                 and self.rng.random() < 0.2):
             tskip = True
             levels = quantize_transform_skip(resid, qp)
@@ -721,20 +779,23 @@ class Encoder:
             is_dst = is_intra and c_idx == 0 and log2 == 2
             coeffs = forward_transform(resid, log2, is_dst)
             levels = quantize(coeffs, qp, log2)
-        if self.pps.sign_data_hiding and levels.any():
+        if self.pps.sign_data_hiding and levels.any() and not bypass:
             scan = residual_scan_idx(mode if is_intra else None, log2, c_idx)
             levels = apply_sign_data_hiding(levels, log2, scan)
         cbf = bool(levels.any())
         self.planner.cbfs[(x, y, log2, c_idx)] = cbf
         if cbf:
-            d = dequant(levels, qp, log2)
-            res = (transform_skip_residual(d) if tskip
-                   else inverse_transform(d, log2,
-                                          is_intra and c_idx == 0 and log2 == 2))
+            if bypass:
+                res = levels
+            else:
+                d = dequant(levels, qp, log2)
+                res = (transform_skip_residual(d) if tskip
+                       else inverse_transform(
+                           d, log2, is_intra and c_idx == 0 and log2 == 2))
             rec = np.clip(pred + res, 0, 255)
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, levels, tskip,
                                        self.qp, is_inter=not is_intra,
-                                       tile=self.cur_tile))
+                                       tile=self.cur_tile, bypass=bypass))
         else:
             rec = pred
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, None,
