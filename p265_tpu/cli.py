@@ -25,7 +25,7 @@ def _cmd_decode(args):
     with open(args.input, "rb") as f:
         data = f.read()
     frames = dec.decode_stream(data)
-    out = [[np.clip(p, 0, 255) for p in f.planes] for f in frames]
+    out = [[np.clip(p, 0, 255) for p in f.cropped_planes()] for f in frames]
     if args.output:
         yuv.write_yuv(args.output, out)
     if args.md5:

@@ -24,9 +24,23 @@ from p265_tpu.syntax.ctu import FramePlan, parse_slice_data
 @dataclass
 class DecodedFrame:
     poc: int
-    planes: list[np.ndarray]        # post-filter [y, cb, cr]
+    planes: list[np.ndarray]        # post-filter [y, cb, cr] (full coded size)
     prefilter: list[np.ndarray]
     plan: FramePlan
+
+    def cropped_planes(self) -> list[np.ndarray]:
+        """Apply the SPS conformance window (spec 7.4.3.2; offsets are in
+        chroma units for 4:2:0, x2 for luma)."""
+        cw = self.plan.sps.conf_win
+        if not any(cw):
+            return self.planes
+        l, r, t, b = cw
+        y = self.planes[0]
+        out = [y[2 * t:y.shape[0] - 2 * b, 2 * l:y.shape[1] - 2 * r]]
+        for c in (1, 2):
+            p = self.planes[c]
+            out.append(p[t:p.shape[0] - b, l:p.shape[1] - r])
+        return out
 
 
 class DecoderBase:

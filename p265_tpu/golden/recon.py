@@ -110,7 +110,10 @@ def reconstruct_tu(plan: FramePlan, tu, planes, avails, inter_pred=None) -> None
         rec = np.clip(pred + tu.levels, 0, 255)
     else:
         qp = tu_qp(plan, tu.c_idx, tu.qp)
-        d = dequant(tu.levels, qp, tu.log2)
+        sm = None
+        if plan.scaling is not None and not tu.tskip:
+            sm = plan.scaling[(tu.log2, tu.matrix_id)]
+        d = dequant(tu.levels, qp, tu.log2, sm)
         if tu.tskip:
             res = transform_skip_residual(d)
         else:

@@ -12,16 +12,18 @@ from p265_tpu.tables import DCT, DST4, LEVEL_SCALE, QUANT_SCALE
 BIT_DEPTH = 8
 
 
-def dequant(levels: np.ndarray, qp: int, log2_size: int) -> np.ndarray:
-    """Scaling process for transform coefficients (spec 8.6.3), flat list m=16.
+def dequant(levels: np.ndarray, qp: int, log2_size: int,
+            scale_m: np.ndarray | None = None) -> np.ndarray:
+    """Scaling process for transform coefficients (spec 8.6.3).
 
     d = Clip3(-2^15, 2^15-1,
               ((c * m * levelScale[qp%6] << (qp/6)) + (1 << (bdShift-1))) >> bdShift)
-    with m = 16, bdShift = BitDepth + log2_size - 5.
+    with m = 16 (flat) or a scaling-list matrix; bdShift = BitDepth + log2 - 5.
     """
     bd_shift = BIT_DEPTH + log2_size - 5
     scale = int(LEVEL_SCALE[qp % 6]) << (qp // 6)
-    c = levels.astype(np.int64) * 16 * scale
+    m = 16 if scale_m is None else scale_m.astype(np.int64)
+    c = levels.astype(np.int64) * m * scale
     d = (c + (1 << (bd_shift - 1))) >> bd_shift
     return np.clip(d, -32768, 32767).astype(np.int32)
 

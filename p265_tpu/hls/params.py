@@ -7,7 +7,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from p265_tpu.hls.bitio import BitReader, BitWriter
+from p265_tpu.tables import (DEFAULT_SCALING_4x4, DEFAULT_SCALING_8x8_INTER,
+                             DEFAULT_SCALING_8x8_INTRA, diag_scan,
+                             upsample_scaling)
 
 
 # ---------------------------------------------------------------------------
@@ -170,6 +175,116 @@ def parse_st_rps(r: BitReader, idx: int, prev_sets: list[ShortTermRPS],
 
 
 # ---------------------------------------------------------------------------
+# scaling_list_data (spec 7.3.4, 7.4.5)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ScalingListData:
+    """Signaled scaling lists.  lists[(sizeId, matrixId)] = flat coef array in
+    up-right diagonal scan order (length min(64, size*size)); dc[(2|3, mId)]
+    for 16x16/32x32."""
+    lists: dict = field(default_factory=dict)
+    dc: dict = field(default_factory=dict)
+
+
+def default_scaling_list(size_id: int, matrix_id: int) -> np.ndarray:
+    """Default list coefficients in diagonal scan order (spec 7.4.5)."""
+    if size_id == 0:
+        m = DEFAULT_SCALING_4x4
+        blk = 4
+    else:
+        m = (DEFAULT_SCALING_8x8_INTRA
+             if (matrix_id < 3 if size_id < 3 else matrix_id == 0)
+             else DEFAULT_SCALING_8x8_INTER)
+        blk = 8
+    scan = diag_scan(blk)
+    return np.array([m[y, x] for (x, y) in scan], np.int32)
+
+
+def parse_scaling_list_data(r: BitReader) -> ScalingListData:
+    sld = ScalingListData()
+    for size_id in range(4):
+        n_mat = 2 if size_id == 3 else 6
+        for matrix_id in range(n_mat):
+            pred_mode = r.u(1)
+            if not pred_mode:
+                delta = r.ue()
+                if delta == 0:
+                    sld.lists[(size_id, matrix_id)] =                         default_scaling_list(size_id, matrix_id)
+                    if size_id > 1:
+                        sld.dc[(size_id, matrix_id)] = 16
+                else:
+                    ref = matrix_id - delta
+                    sld.lists[(size_id, matrix_id)] =                         sld.lists[(size_id, ref)].copy()
+                    if size_id > 1:
+                        sld.dc[(size_id, matrix_id)] = sld.dc[(size_id, ref)]
+            else:
+                n = min(64, 1 << (4 + (size_id << 1)))
+                next_coef = 8
+                if size_id > 1:
+                    dc = r.se() + 8
+                    sld.dc[(size_id, matrix_id)] = dc
+                    next_coef = dc
+                coefs = np.empty(n, np.int32)
+                for i in range(n):
+                    next_coef = (next_coef + r.se() + 256) % 256
+                    coefs[i] = next_coef
+                sld.lists[(size_id, matrix_id)] = coefs
+    return sld
+
+
+def write_scaling_list_data(w: BitWriter, sld: ScalingListData) -> None:
+    for size_id in range(4):
+        n_mat = 2 if size_id == 3 else 6
+        for matrix_id in range(n_mat):
+            coefs = sld.lists.get((size_id, matrix_id))
+            if coefs is None:
+                w.u(0, 1)
+                w.ue(0)  # use default
+                continue
+            w.u(1, 1)
+            next_coef = 8
+            if size_id > 1:
+                dc = int(sld.dc.get((size_id, matrix_id), 16))
+                w.se(dc - 8)
+                next_coef = dc
+            for c in coefs:
+                d = (int(c) - next_coef)
+                d = ((d + 128) % 256) - 128  # wrap into [-128, 127]
+                w.se(d)
+                next_coef = int(c)
+
+
+def resolve_scaling_matrices(sld: ScalingListData | None):
+    """-> dict (log2_size, matrix_id) -> [s, s] int32 dequant matrix m.
+
+    sld None -> defaults for every entry (sps scaling_list_enabled, no data).
+    16x16/32x32 expand the 8x8 coefficient list by 2x/4x repetition with the
+    signaled DC at [0,0] (spec 7.4.5)."""
+    out = {}
+    for size_id in range(4):
+        n_mat = 2 if size_id == 3 else 6
+        log2 = size_id + 2
+        blk = 4 if size_id == 0 else 8
+        scan = diag_scan(blk)
+        for matrix_id in range(n_mat):
+            if sld is not None and (size_id, matrix_id) in sld.lists:
+                coefs = sld.lists[(size_id, matrix_id)]
+                dc = sld.dc.get((size_id, matrix_id), 16)
+            else:
+                coefs = default_scaling_list(size_id, matrix_id)
+                dc = 16
+            m = np.zeros((blk, blk), np.int32)
+            for i, (x, y) in enumerate(scan):
+                m[y, x] = coefs[i]
+            if size_id >= 2:
+                m = upsample_scaling(m, 1 << (size_id - 1), dc)
+            out[(log2, matrix_id)] = m
+    return out
+
+
+# ---------------------------------------------------------------------------
 # SPS (spec 7.3.2.2)
 # ---------------------------------------------------------------------------
 
@@ -193,6 +308,7 @@ class SPS:
     max_transform_hierarchy_depth_inter: int = 0
     max_transform_hierarchy_depth_intra: int = 0
     scaling_list_enabled: bool = False
+    scaling_list_data: "ScalingListData | None" = None
     amp_enabled: bool = False
     sao_enabled: bool = True
     pcm_enabled: bool = False
@@ -260,7 +376,12 @@ def write_sps(w: BitWriter, s: SPS) -> None:
     w.ue(s.max_transform_hierarchy_depth_inter)
     w.ue(s.max_transform_hierarchy_depth_intra)
     w.u(int(s.scaling_list_enabled), 1)
-    assert not s.scaling_list_enabled, "scaling lists unsupported in writer"
+    if s.scaling_list_enabled:
+        if s.scaling_list_data is not None:
+            w.u(1, 1)
+            write_scaling_list_data(w, s.scaling_list_data)
+        else:
+            w.u(0, 1)  # default lists
     w.u(int(s.amp_enabled), 1)
     w.u(int(s.sao_enabled), 1)
     w.u(int(s.pcm_enabled), 1)
@@ -319,7 +440,7 @@ def parse_sps(rbsp: bytes) -> SPS:
     s.scaling_list_enabled = bool(r.u(1))
     if s.scaling_list_enabled:
         if r.u(1):  # sps_scaling_list_data_present_flag
-            raise NotImplementedError("explicit scaling lists not supported yet")
+            s.scaling_list_data = parse_scaling_list_data(r)
     s.amp_enabled = bool(r.u(1))
     s.sao_enabled = bool(r.u(1))
     s.pcm_enabled = bool(r.u(1))
@@ -386,6 +507,7 @@ class PPS:
     deblocking_filter_disabled: bool = False
     beta_offset_div2: int = 0
     tc_offset_div2: int = 0
+    scaling_list_data: "ScalingListData | None" = None
     lists_modification_present: bool = False
     log2_parallel_merge_level: int = 2
     slice_segment_header_extension_present: bool = False
@@ -433,7 +555,11 @@ def write_pps(w: BitWriter, p: PPS) -> None:
         if not p.deblocking_filter_disabled:
             w.se(p.beta_offset_div2)
             w.se(p.tc_offset_div2)
-    w.u(0, 1)  # pps_scaling_list_data_present_flag
+    if p.scaling_list_data is not None:
+        w.u(1, 1)
+        write_scaling_list_data(w, p.scaling_list_data)
+    else:
+        w.u(0, 1)
     w.u(int(p.lists_modification_present), 1)
     w.ue(p.log2_parallel_merge_level - 2)
     w.u(int(p.slice_segment_header_extension_present), 1)
@@ -483,8 +609,8 @@ def parse_pps(rbsp: bytes) -> PPS:
         if not p.deblocking_filter_disabled:
             p.beta_offset_div2 = r.se()
             p.tc_offset_div2 = r.se()
-    if r.u(1):
-        raise NotImplementedError("pps scaling list data not supported yet")
+    if r.u(1):  # pps_scaling_list_data_present_flag
+        p.scaling_list_data = parse_scaling_list_data(r)
     p.lists_modification_present = bool(r.u(1))
     p.log2_parallel_merge_level = r.ue() + 2
     p.slice_segment_header_extension_present = bool(r.u(1))

@@ -29,7 +29,8 @@ def _mats(log2: int) -> tuple[np.ndarray, np.ndarray]:
     return dct, dst
 
 
-def _dequant(levels: jnp.ndarray, qp: jnp.ndarray, log2: int) -> jnp.ndarray:
+def _dequant(levels: jnp.ndarray, qp: jnp.ndarray, log2: int,
+             scale_m: jnp.ndarray | None = None) -> jnp.ndarray:
     """levels [n,s,s] int32, qp [n] -> int32 clamped to +-2^15.
 
     The spec formula ((c*16*ls << qp/6) + (1<<(bdShift-1))) >> bdShift needs 43
@@ -40,11 +41,17 @@ def _dequant(levels: jnp.ndarray, qp: jnp.ndarray, log2: int) -> jnp.ndarray:
     bd = BIT_DEPTH + log2 - 5
     e = (qp // 6)[:, None, None]
     ls = jnp.asarray(LEVEL_SCALE, jnp.int32)[qp % 6][:, None, None]
-    x = levels * (16 * ls)
+    if scale_m is None:
+        x = levels * (16 * ls)                    # <= 2^25.2
+    else:
+        x = (levels * scale_m) * ls               # <= 2^29.2
     rsh = jnp.maximum(bd - e, 0)
     rnd = jnp.where(e < bd, 1 << jnp.maximum(bd - 1 - e, 0), 0)
     d_rs = (x + rnd) >> rsh                       # e <= bd cases (e==bd: x>>0)
-    d_ls = x << jnp.maximum(e - bd, 0)            # e > bd case, fits int32
+    # left-shift branch: clamp first (any |x| > 2^15 saturates anyway) so the
+    # shift cannot overflow int32 even with 255-valued scaling matrices
+    x_c = jnp.clip(x, -(1 << 27), 1 << 27)
+    d_ls = x_c << jnp.maximum(e - bd, 0)
     d = jnp.where(e > bd, d_ls, d_rs)
     return jnp.clip(d, -32768, 32767)
 
@@ -72,9 +79,10 @@ def _imatmul_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("log2", "use_mxu"))
 def batch_residual(levels: jnp.ndarray, qp: jnp.ndarray, is_dst: jnp.ndarray,
                    tskip: jnp.ndarray, log2: int, use_mxu: bool = True,
-                   bypass: jnp.ndarray | None = None) -> jnp.ndarray:
+                   bypass: jnp.ndarray | None = None,
+                   scale_m: jnp.ndarray | None = None) -> jnp.ndarray:
     """[n,s,s] quantized levels -> [n,s,s] int32 spatial residual, bit-exact."""
-    d = _dequant(levels, qp, log2)
+    d = _dequant(levels, qp, log2, scale_m)
     dct, dst = _mats(log2)
     mm = _imatmul_mxu if use_mxu else _imatmul_exact
     shift2 = 20 - BIT_DEPTH
@@ -92,8 +100,9 @@ def batch_residual(levels: jnp.ndarray, qp: jnp.ndarray, is_dst: jnp.ndarray,
     if log2 == 2:
         res_dst = itx(dst)
         res = jnp.where(is_dst[:, None, None], res_dst, res)
-        # transform skip: r = (d << 7 + off) >> shift2
-        ts = (jnp.left_shift(d, 7) + (1 << (shift2 - 1))) >> shift2
+        # transform skip: r = (d << 7 + off) >> shift2 (flat dequant)
+        d_flat = _dequant(levels, qp, log2) if scale_m is not None else d
+        ts = (jnp.left_shift(d_flat, 7) + (1 << (shift2 - 1))) >> shift2
         ts = jnp.clip(ts, -32768, 32767)
         res = jnp.where(tskip[:, None, None], ts, res)
     if bypass is not None:

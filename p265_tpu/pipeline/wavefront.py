@@ -21,6 +21,21 @@ from p265_tpu.plan.frame_plan import PlanePlan, TensorPlan
 GUARD = 32
 
 
+def _residual_for(b, log2: int, use_mxu: bool):
+    """Residuals for a TuBatch: fused Pallas kernel on accelerator backends,
+    XLA path on CPU (where pallas would run interpreted)."""
+    if b.scale_m is None and jax.default_backend() != "cpu":
+        from p265_tpu.kernels.pallas_itransform import pallas_batch_residual
+        return pallas_batch_residual(
+            jnp.asarray(b.coeffs), jnp.asarray(b.qp), jnp.asarray(b.is_dst),
+            jnp.asarray(b.tskip), jnp.asarray(b.bypass), log2)
+    sm = None if b.scale_m is None else jnp.asarray(b.scale_m)
+    return batch_residual(
+        jnp.asarray(b.coeffs), jnp.asarray(b.qp), jnp.asarray(b.is_dst),
+        jnp.asarray(b.tskip), log2, use_mxu, bypass=jnp.asarray(b.bypass),
+        scale_m=sm)
+
+
 def _pow2(n: int, lo: int = 8) -> int:
     c = lo
     while c < n:
@@ -113,10 +128,7 @@ def reconstruct_tpu_scan(tplan: TensorPlan, use_mxu: bool = True):
         n_steps, stacked = _stack_plane(pp)
         residuals = {}
         for log2, b in pp.batches.items():
-            res = batch_residual(
-                jnp.asarray(b.coeffs), jnp.asarray(b.qp),
-                jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu,
-                bypass=jnp.asarray(b.bypass))
+            res = _residual_for(b, log2, use_mxu)
             res = jnp.concatenate(
                 [res, jnp.zeros((1,) + res.shape[1:], res.dtype)])
             residuals[log2] = res[jnp.asarray(stacked[log2]["idx_map"])]
@@ -181,6 +193,12 @@ def _merge_tensor_plans(tplans: list, p_idx: int):
             tskip=cat("tskip"),
             has_res=cat("has_res"),
             bypass=cat("bypass"),
+            scale_m=(None if all(b.scale_m is None for b, _, _ in parts)
+                     else np.concatenate(
+                         [b.scale_m if b.scale_m is not None
+                          else np.full((len(b.step), 1 << log2, 1 << log2),
+                                       16, np.int32)
+                          for b, _, _ in parts])[order]),
             inter=cat("inter"),
             filter_flag=cat("filter_flag"),
             strong_allowed=cat("strong_allowed"),
@@ -225,10 +243,7 @@ def reconstruct_tpu_scan_plane(pp, use_mxu: bool = True):
     n_steps, stacked = _stack_plane(pp)
     residuals = {}
     for log2, b in pp.batches.items():
-        res = batch_residual(
-            jnp.asarray(b.coeffs), jnp.asarray(b.qp),
-            jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu,
-            bypass=jnp.asarray(b.bypass))
+        res = _residual_for(b, log2, use_mxu)
         res = jnp.concatenate(
             [res, jnp.zeros((1,) + res.shape[1:], res.dtype)])
         residuals[log2] = res[jnp.asarray(stacked[log2]["idx_map"])]

@@ -41,6 +41,7 @@ class TuBatch:
     tskip: np.ndarray      # [n] bool
     has_res: np.ndarray    # [n] bool
     bypass: np.ndarray     # [n] bool: levels are the residual (lossless CU)
+    scale_m: np.ndarray | None  # [n, s, s] dequant matrices (None = flat 16)
     inter: np.ndarray      # [n] bool: prediction comes from the MC pred plane
     filter_flag: np.ndarray    # [n] bool ([1 2 1] smoothing)
     strong_allowed: np.ndarray  # [n] bool (32x32 luma + sps flag)
@@ -197,6 +198,8 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None) -> TensorPlan:
                 has_res=np.array([not t.pred_only for t, *_ in rows], bool),
                 inter=np.array([t.is_inter for t, *_ in rows], bool),
                 bypass=np.array([t.bypass for t, *_ in rows], bool),
+                scale_m=(None if plan.scaling is None else np.stack(
+                    [plan.scaling[(log2, t.matrix_id)] for t, *_ in rows])),
                 filter_flag=np.array(
                     [_filter_flag(t.mode, size, p_idx) for t, *_ in rows], bool),
                 strong_allowed=np.array(

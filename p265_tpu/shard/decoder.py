@@ -58,10 +58,11 @@ def _pad_stream_plane(pp, sizes, n_steps, caps, use_mxu):
         res = np.zeros((n_steps, cap, size, size), np.int32)
         if d is not None and log2 in pp.batches:
             b = pp.batches[log2]
+            sm = None if b.scale_m is None else jnp.asarray(b.scale_m)
             r = np.asarray(batch_residual(
                 jnp.asarray(b.coeffs), jnp.asarray(b.qp),
                 jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu,
-                bypass=jnp.asarray(b.bypass)))
+                bypass=jnp.asarray(b.bypass), scale_m=sm))
             rp = np.concatenate([r, np.zeros((1,) + r.shape[1:], r.dtype)])
             got = rp[d["idx_map"]]
             res[:got.shape[0], :got.shape[1]] = got

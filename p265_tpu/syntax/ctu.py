@@ -18,6 +18,7 @@ from p265_tpu.golden.intra import derive_mpm
 from p265_tpu.golden.mv import Motion, MotionCtx, derive_amvp, derive_merge_list
 from p265_tpu.hls.params import PPS, SPS
 from p265_tpu.hls.slice_header import SLICE_B, SLICE_I, SliceHeader
+from p265_tpu.syntax.qp import QpState
 from p265_tpu.syntax.residual import decode_residual, encode_residual
 from p265_tpu.syntax.tiles import TileInfo, build_tile_info
 from p265_tpu.tables import residual_scan_idx
@@ -65,6 +66,7 @@ class TuRec:
     tile: int = 0
     bypass: bool = False   # cu_transquant_bypass: levels ARE the residual
     pcm: bool = False      # raw PCM samples in `levels` (is_inter-class exec)
+    matrix_id: int = 0     # scaling-list matrix id (0..5; 32x32: 0..1)
 
 
 @dataclass
@@ -108,6 +110,7 @@ class FramePlan:
     ref_map: np.ndarray | None = None    # [h4,w4,2] ref POCs, NO_REF unused
     tile_map4: np.ndarray | None = None  # [h4,w4] tile id per 4x4 luma block
     bypass_map: np.ndarray | None = None # [h4,w4] cu_transquant_bypass
+    scaling: dict | None = None          # (log2, matrix_id) -> [s,s] dequant m
     tile_tu_starts: list[int] = field(default_factory=list)  # TU idx per tile start
 
     def grid_shape(self) -> tuple[int, int]:
@@ -265,7 +268,12 @@ class CtuCoder:
             tm[yc >> 2:(y1 + 3) >> 2, xc >> 2:(x1 + 3) >> 2] =                 self.tile_info.tile_of_ctb[addr]
         plan.tile_map4 = tm
         self.tile_map4 = tm
+        if sps.scaling_list_enabled:
+            from p265_tpu.hls.params import resolve_scaling_matrices
+            sld = pps.scaling_list_data or sps.scaling_list_data
+            plan.scaling = resolve_scaling_matrices(sld)
         self.cu_bypass = False
+        self.qps = QpState(sps, pps, plan.qp_map, self._avail_at)
         self.mctx = mctx
         if mctx is not None:
             plan.mv_map = mctx.mv
@@ -323,6 +331,7 @@ class CtuCoder:
         n_segs = len(ti.segments)
         sao_decode_order = {}
         for seg_idx, seg in enumerate(ti.segments):
+            self.qps.start_segment(self.sh.slice_qp)
             if seg_idx > 0:
                 assert self.substreams is not None,                     "multi-substream slice requires entry points"
                 self._switch_engine(seg_idx)
@@ -438,6 +447,7 @@ class CtuCoder:
     def _coding_quadtree(self, x0: int, y0: int, log2_size: int, depth: int) -> None:
         sps = self.sps
         size = 1 << log2_size
+        self.qps.maybe_start_qg(x0, y0, log2_size)
         inside = (x0 + size <= sps.pic_width) and (y0 + size <= sps.pic_height)
         can_split = log2_size > sps.log2_min_cb_size
         if inside and can_split:
@@ -484,12 +494,13 @@ class CtuCoder:
             if skip:
                 self._set_map(self.plan.skip_map, x0, y0, size, v=1)
                 self._set_map(self.plan.intra_map, x0, y0, size, v=0)
-                self._set_map(self.plan.qp_map, x0, y0, size, v=self.sh.slice_qp)
+                self._set_map(self.plan.qp_map, x0, y0, size, v=self.qps.qp())
                 self._set_edges(x0, y0, size)
                 self._prediction_unit(x0, y0, size, size, 0, "2Nx2N",
                                       x0, y0, log2_size, merge_only=True)
                 self._emit_inter_pred_only(x0, y0, size)
                 self._mark(x0, y0, size)
+                self.qps.end_cu()
                 return
         pred_intra = True
         if self.sh.slice_type != SLICE_I:
@@ -552,12 +563,13 @@ class CtuCoder:
         # neighbor-facing state: PCM CUs count as intra with DC mode
         self._set_map(self.plan.intra_map, x0, y0, size, v=1)
         self._set_map(self.mode_map, x0, y0, size, v=1)
-        self._set_map(self.plan.qp_map, x0, y0, size, v=self.sh.slice_qp)
+        self._set_map(self.plan.qp_map, x0, y0, size, v=self.qps.qp())
         self._set_map(self.plan.cbf_map, x0, y0, size, v=0)
         if sps.pcm_loop_filter_disabled:
             self._set_map(self.plan.bypass_map, x0, y0, size, v=1)
         self._set_edges(x0, y0, size)
         self._mark(x0, y0, size)
+        self.qps.end_cu()
 
     def _intra_cu(self, x0: int, y0: int, log2_size: int) -> None:
         sps = self.sps
@@ -622,7 +634,6 @@ class CtuCoder:
         chroma_mode = self._chroma_mode_from_idx(cidx, modes[0])
 
         self._set_map(self.plan.intra_map, x0, y0, size, v=1)
-        self._set_map(self.plan.qp_map, x0, y0, size, v=self.sh.slice_qp)
         if self.plan.skip_map is not None:
             self._set_map(self.plan.skip_map, x0, y0, size, v=0)
         self._set_edges(x0, y0, size)
@@ -630,7 +641,9 @@ class CtuCoder:
         max_depth = sps.max_transform_hierarchy_depth_intra + intra_split
         self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0, modes, chroma_mode,
                              bool(intra_split), max_depth, True)
+        self._set_map(self.plan.qp_map, x0, y0, size, v=self.qps.qp())
         self._mark(x0, y0, size)
+        self.qps.end_cu()
 
     def _mpm_for(self, i: int, pus, modes, x0: int, y0: int, cu_size: int):
         px, py = pus[i]
@@ -706,7 +719,6 @@ class CtuCoder:
                 merge0 = m
             self._set_edges(px, py, w, h)
         self._set_map(self.plan.intra_map, x0, y0, size, v=0)
-        self._set_map(self.plan.qp_map, x0, y0, size, v=self.sh.slice_qp)
         self._set_map(self.plan.skip_map, x0, y0, size, v=0)
         self._set_map(self.mode_map, x0, y0, size, v=-1)
         self._set_edges(x0, y0, size)
@@ -721,13 +733,15 @@ class CtuCoder:
                                  inter_split, max_depth, False)
         else:
             self._emit_inter_pred_only(x0, y0, size)
+        self._set_map(self.plan.qp_map, x0, y0, size, v=self.qps.qp())
         self._mark(x0, y0, size)
+        self.qps.end_cu()
 
     def _emit_inter_pred_only(self, x0: int, y0: int, size: int) -> None:
         """No-residual inter CU: emit pred_only TU records covering the CU so
         the reconstruction pass writes MC prediction and availability in
         z-order."""
-        qp = self.sh.slice_qp
+        qp = self.qps.qp()
         recs = [(x0, y0, (size).bit_length() - 1, 0),
                 (x0 >> 1, y0 >> 1, (size >> 1).bit_length() - 1, 1),
                 (x0 >> 1, y0 >> 1, (size >> 1).bit_length() - 1, 2)]
@@ -919,7 +933,10 @@ class CtuCoder:
                 lmode = modes[blk_idx] if depth == 1 else modes[0]
         else:
             lmode = None
-        qp = self.sh.slice_qp
+        if (self.qps.enabled and not self.qps.delta_coded
+                and (cbf_luma or cbf_cb or cbf_cr)):
+            self._cu_qp_delta_syntax()
+        qp = self.qps.qp()
         if cbf_luma:
             scan = residual_scan_idx(lmode if is_intra else None, log2_size, 0)
             self._code_residual(x0, y0, log2_size, 0, scan,
@@ -947,6 +964,34 @@ class CtuCoder:
                     self._pred_only(cx, cy, clog2, c_idx,
                                     chroma_mode if is_intra else -1, qp,
                                     not is_intra)
+
+    def _cu_qp_delta_syntax(self) -> None:
+        """cu_qp_delta_abs / sign (spec 7.3.8.10, 9.3.3): TR(5) ctx + EG0."""
+        if self.is_enc:
+            want = int(self.planner.cu_qp_delta(*self.qps.qg_xy))
+            a = abs(want)
+            self.io.flag("cu_qp_delta_abs", 0, int(a > 0))
+            if a > 0:
+                for k in range(1, min(a, 5)):
+                    self.io.flag("cu_qp_delta_abs", 1, 1)
+                if a < 5:
+                    self.io.flag("cu_qp_delta_abs", 1, 0)
+                else:
+                    self.io.eg_bypass(0, a - 5)
+                self.io.bypass(int(want < 0))
+            self.qps.set_delta(want)
+        else:
+            a = 0
+            if self.io.flag("cu_qp_delta_abs", 0):
+                a = 1
+                while a < 5 and self.io.flag("cu_qp_delta_abs", 1):
+                    a += 1
+                if a == 5:
+                    a += self.io.eg_bypass(0)
+            v = 0
+            if a:
+                v = -a if self.io.bypass() else a
+            self.qps.set_delta(v)
 
     def _pred_only(self, x, y, log2, c_idx, mode, qp, is_inter=False) -> None:
         if self.is_enc:
@@ -979,10 +1024,12 @@ class CtuCoder:
                 transform_skip_allowed=pps.transform_skip_enabled,
                 sign_data_hiding=pps.sign_data_hiding,
                 tq_bypass=self.cu_bypass)
+            mid = ((1 if is_inter else 0) if log2 == 5
+                   else 3 * (1 if is_inter else 0) + c_idx)
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, levels, tskip,
                                        qp, is_inter=is_inter,
                                        tile=self.cur_tile,
-                                       bypass=self.cu_bypass))
+                                       bypass=self.cu_bypass, matrix_id=mid))
 
 
 def parse_slice_data(dec, sps: SPS, pps: PPS, sh: SliceHeader,

@@ -433,5 +433,41 @@ def clip3(lo: int, hi: int, v: int) -> int:
     return lo if v < lo else hi if v > hi else v
 
 
+# ---------------------------------------------------------------------------
+# Default quantization scaling matrices (spec Tables 7-5, 7-6)  [MEM]
+# 4x4 default is flat 16; 16x16/32x32 derive from the 8x8 lists by 2x/4x
+# sample repetition with DC forced to 16 (spec 7.4.5).
+# ---------------------------------------------------------------------------
+
+DEFAULT_SCALING_4x4 = np.full((4, 4), 16, np.int32)
+
+DEFAULT_SCALING_8x8_INTRA = np.array([
+    [16, 16, 16, 16, 17, 18, 21, 24],
+    [16, 16, 16, 16, 17, 19, 22, 25],
+    [16, 16, 17, 18, 20, 22, 25, 29],
+    [16, 16, 18, 21, 24, 27, 31, 36],
+    [17, 17, 20, 24, 30, 35, 41, 47],
+    [18, 19, 22, 27, 35, 44, 54, 65],
+    [21, 22, 25, 31, 41, 54, 70, 88],
+    [24, 25, 29, 36, 47, 65, 88, 115]], np.int32)
+
+DEFAULT_SCALING_8x8_INTER = np.array([
+    [16, 16, 16, 16, 17, 18, 20, 24],
+    [16, 16, 16, 17, 18, 20, 24, 25],
+    [16, 16, 17, 18, 20, 24, 25, 28],
+    [16, 17, 18, 20, 24, 25, 28, 33],
+    [17, 18, 20, 24, 25, 28, 33, 41],
+    [18, 20, 24, 25, 28, 33, 41, 54],
+    [20, 24, 25, 28, 33, 41, 54, 71],
+    [24, 25, 28, 33, 41, 54, 71, 91]], np.int32)
+
+
+def upsample_scaling(m8: np.ndarray, factor: int, dc: int) -> np.ndarray:
+    """16x16/32x32 scaling matrix from an 8x8 list (spec 7.4.5)."""
+    m = np.repeat(np.repeat(m8, factor, axis=0), factor, axis=1)
+    m[0, 0] = dc
+    return m.astype(np.int32)
+
+
 BIT_DEPTH = 8
 PIXEL_MAX = (1 << BIT_DEPTH) - 1

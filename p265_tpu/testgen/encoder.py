@@ -191,6 +191,10 @@ class Encoder:
 
         plan = FramePlan(sps, pps, sh)
         plan.alloc_maps()
+        if sps.scaling_list_enabled:
+            from p265_tpu.hls.params import resolve_scaling_matrices
+            plan.scaling = resolve_scaling_matrices(
+                pps.scaling_list_data or sps.scaling_list_data)
         plan.poc = poc
         plan.l0_pocs = list(l0_pocs)
         plan.l1_pocs = list(l1_pocs)
@@ -788,7 +792,12 @@ class Encoder:
             if bypass:
                 res = levels
             else:
-                d = dequant(levels, qp, log2)
+                sm = None
+                if self.plan.scaling is not None and not tskip:
+                    mid = ((0 if is_intra else 1) if log2 == 5
+                           else 3 * (0 if is_intra else 1) + c_idx)
+                    sm = self.plan.scaling[(log2, mid)]
+                d = dequant(levels, qp, log2, sm)
                 res = (transform_skip_residual(d) if tskip
                        else inverse_transform(
                            d, log2, is_intra and c_idx == 0 and log2 == 2))
