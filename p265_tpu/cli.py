@@ -81,7 +81,8 @@ def _cmd_encode(args):
             nb, *_ = enc.encode_frame(f, poc=0, slice_type=2)
             stream += nb
     else:
-        stream, _ = enc.encode_sequence(frames, structure=args.gop)
+        stream, _ = enc.encode_sequence(frames, structure=args.gop,
+                                        num_slices=args.slices)
     with open(args.output, "wb") as f:
         f.write(stream)
     print(f"encoded {len(frames)} frames -> {len(stream)} bytes")
@@ -136,6 +137,8 @@ def main(argv=None):
     e.add_argument("--tiles", help="CxR tile grid")
     e.add_argument("--wpp", action="store_true")
     e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--slices", type=int, default=1,
+                   help="independent slices per picture")
     e.set_defaults(fn=_cmd_encode)
 
     i = sub.add_parser("info", help="inspect an Annex-B stream")

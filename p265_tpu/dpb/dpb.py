@@ -100,13 +100,19 @@ class DPB:
             missing = [p for p in before + after if p not in by_poc]
             raise ValueError(f"reference pictures missing from DPB: {missing}")
         tmp0 = st_before + st_after
-        l0 = [tmp0[i % len(tmp0)] for i in range(sh.num_ref_idx_l0_active)] \
-            if tmp0 else []
+        if sh.ref_pic_list_modification_l0 is not None:
+            l0 = [tmp0[e] for e in sh.ref_pic_list_modification_l0]
+        else:
+            l0 = [tmp0[i % len(tmp0)]
+                  for i in range(sh.num_ref_idx_l0_active)] if tmp0 else []
         l1 = []
         if sh.slice_type == SLICE_B:
             tmp1 = st_after + st_before
-            l1 = [tmp1[i % len(tmp1)] for i in range(sh.num_ref_idx_l1_active)] \
-                if tmp1 else []
+            if sh.ref_pic_list_modification_l1 is not None:
+                l1 = [tmp1[e] for e in sh.ref_pic_list_modification_l1]
+            else:
+                l1 = [tmp1[i % len(tmp1)]
+                      for i in range(sh.num_ref_idx_l1_active)] if tmp1 else []
         return l0, l1
 
     # -- insertion / output (C.5) -------------------------------------------

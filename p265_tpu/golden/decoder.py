@@ -62,6 +62,7 @@ class DecoderBase:
         self.dpb: DPB | None = None
         self._decoded: list[DecodedFrame] = []
         self._skip_until_irap = False
+        self._pic = None
         self.errors: list[str] = []
         self.stats = {"frames": 0, "parse_s": 0.0, "recon_s": 0.0,
                       "filter_s": 0.0, "slice_bytes": 0, "tus": 0, "ctbs": 0}
@@ -129,6 +130,8 @@ class DecoderBase:
 
     def flush(self) -> list[DecodedFrame]:
         """Output-order frames decoded so far."""
+        if getattr(self, "_pic", None) is not None:
+            self._finish_picture()
         if self.dpb is None:
             return []
         self.dpb.flush()
@@ -141,23 +144,43 @@ class DecoderBase:
             unit.rbsp, unit.nal_type, self.sps_map, self.pps_map)
         if self.dpb is None:
             self.dpb = DPB(sps)
-        poc = self.dpb.compute_poc(sh, unit.temporal_id)
-        self.dpb.apply_rps(sh, poc)
-        l0, l1 = self.dpb.build_ref_lists(sh, poc)
-
-        mctx = None
-        if sh.slice_type != SLICE_I:
-            col_mv = col_rp = None
-            col_poc = None
-            if sh.temporal_mvp_enabled:
-                col_list = l0 if sh.collocated_from_l0 else l1
-                col = col_list[sh.collocated_ref_idx]
-                col_mv, col_rp, col_poc = col.col_mv, col.col_ref_poc, col.poc
-            h4 = (sps.pic_height + 3) >> 2
-            w4 = (sps.pic_width + 3) >> 2
-            mctx = MotionCtx(sps, sh, poc, [p.poc for p in l0],
-                             [p.poc for p in l1], (h4, w4),
-                             col_mv=col_mv, col_ref_poc=col_rp, col_poc=col_poc)
+        if sh.first_slice_in_pic:
+            try:
+                self._finish_picture()
+            except Exception as e:
+                # a stale incomplete picture must not take the new one down
+                if not self.error_resilient:
+                    raise
+                self.errors.append(f"incomplete picture dropped: {e!r}")
+            poc = self.dpb.compute_poc(sh, unit.temporal_id)
+            self.dpb.apply_rps(sh, poc)
+            l0, l1 = self.dpb.build_ref_lists(sh, poc)
+            mctx = None
+            if sh.slice_type != SLICE_I:
+                col_mv = col_rp = None
+                col_poc = None
+                if sh.temporal_mvp_enabled:
+                    col_list = l0 if sh.collocated_from_l0 else l1
+                    col = col_list[sh.collocated_ref_idx]
+                    col_mv, col_rp = col.col_mv, col.col_ref_poc
+                    col_poc = col.poc
+                h4 = (sps.pic_height + 3) >> 2
+                w4 = (sps.pic_width + 3) >> 2
+                mctx = MotionCtx(sps, sh, poc, [p.poc for p in l0],
+                                 [p.poc for p in l1], (h4, w4),
+                                 col_mv=col_mv, col_ref_poc=col_rp,
+                                 col_poc=col_poc)
+            plan = FramePlan(sps, pps, sh)
+            plan.alloc_maps()
+            plan.poc = poc
+            plan.l0_pocs = [p.poc for p in l0]
+            plan.l1_pocs = [p.poc for p in l1]
+            self._pic = {"plan": plan, "mctx": mctx, "sps": sps, "pps": pps,
+                         "poc": poc, "nal_type": unit.nal_type, "ctbs": 0,
+                         "n_slices": 0, "bytes": 0}
+        assert self._pic is not None, "slice without first_slice_in_pic start"
+        pic_st = self._pic
+        plan, mctx, sps = pic_st["plan"], pic_st["mctx"], pic_st["sps"]
 
         from p265_tpu import native as native_mod
         use_native = self.use_native_cabac and native_mod.available()
@@ -169,20 +192,38 @@ class DecoderBase:
             from p265_tpu.syntax.ctu import DecodeSubstreams
             provider = DecodeSubstreams(unit.rbsp[off:],
                                         sh.entry_point_offsets, ctx)
-            plan = parse_slice_data(None, sps, pps, sh, mctx,
-                                    substreams=provider)
+            _, coded = parse_slice_data(None, sps, pps, sh, mctx,
+                                        substreams=provider, plan=plan,
+                                        slice_idx=pic_st["n_slices"])
         else:
             if use_native:
                 dec = native_mod.NativeCabacDecoder(
                     BitReader(unit.rbsp[off:]), ctx)
             else:
                 dec = CabacDecoder(BitReader(unit.rbsp[off:]), ctx)
-            plan = parse_slice_data(dec, sps, pps, sh, mctx)
-        plan.poc = poc
-        plan.l0_pocs = [p.poc for p in l0]
-        plan.l1_pocs = [p.poc for p in l1]
-        t1 = _time.perf_counter()
+            _, coded = parse_slice_data(dec, sps, pps, sh, mctx, plan=plan,
+                                        slice_idx=pic_st["n_slices"])
+        pic_st["ctbs"] += coded
+        pic_st["n_slices"] += 1
+        pic_st["bytes"] += len(unit.rbsp)
+        self.stats["parse_s"] += _time.perf_counter() - t0
+        if pic_st["ctbs"] > sps.num_ctbs:
+            raise ValueError("slice decoded past picture end")
+        if pic_st["ctbs"] == sps.num_ctbs:
+            self._finish_picture()
 
+    def _finish_picture(self) -> None:
+        import time as _time
+        pic_st = getattr(self, "_pic", None)
+        self._pic = None
+        if pic_st is None:
+            return
+        if pic_st["ctbs"] != pic_st["sps"].num_ctbs:
+            raise ValueError("picture incomplete: "
+                             f"{pic_st['ctbs']}/{pic_st['sps'].num_ctbs} CTUs")
+        plan, mctx, sps = pic_st["plan"], pic_st["mctx"], pic_st["sps"]
+        poc = pic_st["poc"]
+        t1 = _time.perf_counter()
         refs = {p.poc: p.planes for p in self.dpb.pics if p.is_reference}
         prefilter = self._reconstruct(plan, refs)
         t2 = _time.perf_counter()
@@ -191,16 +232,15 @@ class DecoderBase:
             planes = self._filters(plan, planes)
         t3 = _time.perf_counter()
         self.stats["frames"] += 1
-        self.stats["parse_s"] += t1 - t0
         self.stats["recon_s"] += t2 - t1
         self.stats["filter_s"] += t3 - t2
-        self.stats["slice_bytes"] += len(unit.rbsp)
+        self.stats["slice_bytes"] += pic_st["bytes"]
         self.stats["tus"] += len(plan.tus)
         self.stats["ctbs"] += sps.num_ctbs
 
         frame = DecodedFrame(poc, planes, prefilter, plan)
         pic = Picture(poc, planes,
-                      is_reference=nal.is_reference_nal(unit.nal_type))
+                      is_reference=nal.is_reference_nal(pic_st["nal_type"]))
         pic.user = frame
         if mctx is not None:
             pic.col_mv = mctx.mv[::4, ::4].copy()

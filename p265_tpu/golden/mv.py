@@ -78,13 +78,19 @@ class MotionCtx:
         self.ref_idx = np.full((h4, w4, 2), -1, np.int32)
         self.ref_poc = np.full((h4, w4, 2), NO_REF, np.int32)
         # PU motion becomes visible to later PUs of the same CU before the
-        # CU's samples are reconstructed (AMVP may read PU0 from PU1)
-        self.motion_coded = np.zeros((h4, w4), bool)
+        # CU's samples are reconstructed (AMVP may read PU0 from PU1).
+        # Scoped by a per-CU serial so visibility never leaks across CU /
+        # tile / slice boundaries (those go through the avail() gate).
+        self.motion_coded = np.zeros((h4, w4), np.int64)
+        self.cur_cu = 0
         self.col_mv = col_mv               # [h16, w16, 2, 2] of collocated pic
         self.col_ref_poc = col_ref_poc
         self.col_poc = col_poc
         # NoBackwardPredFlag: every ref in both lists has POC <= current
         self.no_backward = all(p <= poc for p in l0_pocs + l1_pocs)
+
+    def begin_cu(self) -> None:
+        self.cur_cu += 1
 
     # -- grid bookkeeping ----------------------------------------------------
     def store_pu(self, x: int, y: int, w: int, h: int, m: Motion) -> None:
@@ -95,7 +101,7 @@ class MotionCtx:
             self.mv[y4a:y4b, x4a:x4b, lx, 1] = m.mv[lx][1]
             self.ref_idx[y4a:y4b, x4a:x4b, lx] = m.ref_idx[lx]
             self.ref_poc[y4a:y4b, x4a:x4b, lx] = m.ref_poc[lx]
-        self.motion_coded[y4a:y4b, x4a:x4b] = True
+        self.motion_coded[y4a:y4b, x4a:x4b] = self.cur_cu
 
     def motion_at(self, x: int, y: int) -> Motion | None:
         """Motion of the coded block covering luma sample (x, y), or None if
@@ -103,7 +109,8 @@ class MotionCtx:
         if x < 0 or y < 0 or x >= self.sps.pic_width or y >= self.sps.pic_height:
             return None
         x4, y4 = x >> 2, y >> 2
-        if not (self.avail(x, y) or self.motion_coded[y4, x4]):
+        if not (self.avail(x, y)
+                or (self.cur_cu and self.motion_coded[y4, x4] == self.cur_cu)):
             return None
         if self.intra_map[y4, x4]:
             return None

@@ -84,10 +84,12 @@ def reconstruct(plan: FramePlan, refs: dict | None = None) -> list[np.ndarray]:
               np.zeros(((ch + 3) >> 2, (cw + 3) >> 2), bool)]
     inter_pred = build_inter_pred(plan, refs or {})
     cur_tile = 0
+    cur_slice = 0
     for tu in plan.tus:
-        if tu.tile != cur_tile:
-            # prediction never crosses tile boundaries: availability resets
+        if tu.tile != cur_tile or tu.slice_idx != cur_slice:
+            # prediction never crosses tile or slice boundaries
             cur_tile = tu.tile
+            cur_slice = tu.slice_idx
             for a in avails:
                 a[:] = False
         reconstruct_tu(plan, tu, planes, avails, inter_pred)

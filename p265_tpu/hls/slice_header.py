@@ -109,8 +109,11 @@ class SliceHeader:
     sao_chroma: bool = True
     num_ref_idx_l0_active: int = 1
     num_ref_idx_l1_active: int = 1
+    # ref_pic_list_modification (spec 7.3.6.2): list_entry indices into
+    # RefPicListTemp, or None when the flag is 0
     ref_pic_list_modification_l0: list[int] | None = None
     ref_pic_list_modification_l1: list[int] | None = None
+    num_pic_total_curr: int = 0  # derived at parse/write for entry bit width
     mvd_l1_zero: bool = False
     cabac_init_flag: bool = False
     collocated_from_l0: bool = True
@@ -191,8 +194,20 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS) -> None
                 w.ue(h.num_ref_idx_l0_active - 1)
                 if h.slice_type == SLICE_B:
                     w.ue(h.num_ref_idx_l1_active - 1)
-            if pps.lists_modification_present:
-                raise NotImplementedError("ref list modification not in writer yet")
+            npc = h.num_pic_total_curr
+            if pps.lists_modification_present and npc > 1:
+                bits = max(1, math.ceil(math.log2(npc)))
+                for lx, mod, n_ref in ((0, h.ref_pic_list_modification_l0,
+                                        h.num_ref_idx_l0_active),
+                                       (1, h.ref_pic_list_modification_l1,
+                                        h.num_ref_idx_l1_active)):
+                    if lx == 1 and h.slice_type != SLICE_B:
+                        break
+                    w.u(int(mod is not None), 1)
+                    if mod is not None:
+                        assert len(mod) == n_ref
+                        for e in mod:
+                            w.u(e, bits)
             if h.slice_type == SLICE_B:
                 w.u(int(h.mvd_l1_zero), 1)
             if pps.cabac_init_present:
@@ -277,6 +292,11 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps_map: dict[int, SPS],
             h.sao_chroma = bool(r.u(1))
         else:
             h.sao_luma = h.sao_chroma = False
+        rps_cur = (h.st_rps_explicit if h.st_rps_explicit is not None
+                   else (sps.st_rps[h.st_rps_idx] if sps.st_rps else None))
+        if rps_cur is not None:
+            h.num_pic_total_curr = (sum(rps_cur.used_s0)
+                                    + sum(rps_cur.used_s1))
         h.num_ref_idx_l0_active = pps.num_ref_idx_l0_default
         h.num_ref_idx_l1_active = pps.num_ref_idx_l1_default
         if h.slice_type in (SLICE_P, SLICE_B):
@@ -284,8 +304,15 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps_map: dict[int, SPS],
                 h.num_ref_idx_l0_active = r.ue() + 1
                 if h.slice_type == SLICE_B:
                     h.num_ref_idx_l1_active = r.ue() + 1
-            if pps.lists_modification_present:
-                raise NotImplementedError("ref list modification not supported yet")
+            npc = h.num_pic_total_curr
+            if pps.lists_modification_present and npc > 1:
+                bits = max(1, math.ceil(math.log2(npc)))
+                if r.u(1):
+                    h.ref_pic_list_modification_l0 = [
+                        r.u(bits) for _ in range(h.num_ref_idx_l0_active)]
+                if h.slice_type == SLICE_B and r.u(1):
+                    h.ref_pic_list_modification_l1 = [
+                        r.u(bits) for _ in range(h.num_ref_idx_l1_active)]
             if h.slice_type == SLICE_B:
                 h.mvd_l1_zero = bool(r.u(1))
             if pps.cabac_init_present:

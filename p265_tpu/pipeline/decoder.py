@@ -23,7 +23,7 @@ class TpuDecoder(DecoderBase):
 
     def _reconstruct(self, plan: FramePlan, refs: dict) -> list[np.ndarray]:
         from p265_tpu.pipeline.wavefront import reconstruct_tpu_scan
-        tplan = build_tensor_plan(plan, refs)
+        tplan = build_tensor_plan(plan, refs, device_mc=True)
         return reconstruct_tpu_scan(tplan, self.use_mxu)
 
     def _filters(self, plan: FramePlan, planes: list[np.ndarray]):

@@ -21,10 +21,15 @@ from p265_tpu.plan.frame_plan import PlanePlan, TensorPlan
 GUARD = 32
 
 
+USE_PALLAS_RESIDUAL = False  # opt-in: faster per-op, but the pipeline's
+# small ragged buckets lose more to 128-TU padding than the fusion saves;
+# revisit with bucket packing (BASELINE.md round-2 notes)
+
+
 def _residual_for(b, log2: int, use_mxu: bool):
-    """Residuals for a TuBatch: fused Pallas kernel on accelerator backends,
-    XLA path on CPU (where pallas would run interpreted)."""
-    if b.scale_m is None and jax.default_backend() != "cpu":
+    """Residuals for a TuBatch: fused Pallas kernel (opt-in) or XLA path."""
+    if (USE_PALLAS_RESIDUAL and b.scale_m is None
+            and jax.default_backend() != "cpu"):
         from p265_tpu.kernels.pallas_itransform import pallas_batch_residual
         return pallas_batch_residual(
             jnp.asarray(b.coeffs), jnp.asarray(b.qp), jnp.asarray(b.is_dst),

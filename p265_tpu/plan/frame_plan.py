@@ -88,18 +88,24 @@ def _expand_large(tus):
             for dx in (0, half):
                 out.append(TuRec(t.x + dx, t.y + dy, t.log2 - 1, t.c_idx,
                                  t.mode, None, qp=t.qp, pred_only=True,
-                                 is_inter=True))
+                                 is_inter=True, tile=t.tile,
+                                 slice_idx=t.slice_idx))
     return out
 
 
-def build_tensor_plan(plan: FramePlan, refs: dict | None = None) -> TensorPlan:
+def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
+                      device_mc: bool = False) -> TensorPlan:
     sps = plan.sps
     w, h = sps.pic_width, sps.pic_height
     shapes = [(h, w), (h >> 1, w >> 1), (h >> 1, w >> 1)]
     inter_pred = None
     if plan.pus or any(t.pcm for t in plan.tus):
-        from p265_tpu.golden.recon import build_inter_pred
-        inter_pred = build_inter_pred(plan, refs or {})
+        if device_mc:
+            from p265_tpu.kernels.mc import build_inter_pred_device
+            inter_pred = build_inter_pred_device(plan, refs or {})
+        else:
+            from p265_tpu.golden.recon import build_inter_pred
+            inter_pred = build_inter_pred(plan, refs or {})
     planes = []
     for p_idx in range(3):
         ph, pw = shapes[p_idx]
@@ -109,10 +115,12 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None) -> TensorPlan:
         tus = _expand_large([t for t in plan.tus if t.c_idx == p_idx])
         per_tu = []
         cur_tile = 0
+        cur_slice = 0
         for t in tus:
-            if t.tile != cur_tile:
+            if t.tile != cur_tile or t.slice_idx != cur_slice:
                 cur_tile = t.tile
-                avail[:] = False  # prediction never crosses tile boundaries
+                cur_slice = t.slice_idx
+                avail[:] = False  # no prediction across tile/slice boundaries
             size = 1 << t.log2
             n = size
             if t.is_inter:

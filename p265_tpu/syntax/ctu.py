@@ -64,6 +64,7 @@ class TuRec:
     pred_only: bool = False
     is_inter: bool = False
     tile: int = 0
+    slice_idx: int = 0
     bypass: bool = False   # cu_transquant_bypass: levels ARE the residual
     pcm: bool = False      # raw PCM samples in `levels` (is_inter-class exec)
     matrix_id: int = 0     # scaling-list matrix id (0..5; 32x32: 0..1)
@@ -111,6 +112,7 @@ class FramePlan:
     tile_map4: np.ndarray | None = None  # [h4,w4] tile id per 4x4 luma block
     bypass_map: np.ndarray | None = None # [h4,w4] cu_transquant_bypass
     scaling: dict | None = None          # (log2, matrix_id) -> [s,s] dequant m
+    slice_of_ctb: np.ndarray | None = None  # [num_ctbs] slice index (multi-slice)
     tile_tu_starts: list[int] = field(default_factory=list)  # TU idx per tile start
 
     def grid_shape(self) -> tuple[int, int]:
@@ -238,7 +240,8 @@ class CtuCoder:
 
     def __init__(self, engine, sps: SPS, pps: PPS, sh: SliceHeader,
                  plan: FramePlan, is_enc: bool, planner=None,
-                 mctx: MotionCtx | None = None, substreams=None):
+                 mctx: MotionCtx | None = None, substreams=None,
+                 start_ctb: int = 0, slice_idx: int = 0, iters=None):
         self.substreams = substreams
         if substreams is not None:
             engine = substreams.get(0)
@@ -272,6 +275,10 @@ class CtuCoder:
             from p265_tpu.hls.params import resolve_scaling_matrices
             sld = pps.scaling_list_data or sps.scaling_list_data
             plan.scaling = resolve_scaling_matrices(sld)
+        self.start_ctb = start_ctb
+        self.slice_idx = slice_idx
+        if plan.slice_of_ctb is None:
+            plan.slice_of_ctb = np.full(sps.num_ctbs, -1, np.int32)
         self.cu_bypass = False
         self.qps = QpState(sps, pps, plan.qp_map, self._avail_at)
         self.mctx = mctx
@@ -280,10 +287,14 @@ class CtuCoder:
             plan.ref_map = mctx.ref_poc
             mctx.avail = self._avail_at
             mctx.intra_map = plan.intra_map
-        self._tu_iter = iter(plan.tus) if is_enc else None
-        self._pu_iter = iter(plan.pus) if is_enc else None
+        if iters is not None:
+            self._tu_iter, self._pu_iter = iters
+        else:
+            self._tu_iter = iter(plan.tus) if is_enc else None
+            self._pu_iter = iter(plan.pus) if is_enc else None
         # plan.sao is raster-indexed (length num_ctbs); decode pre-allocates
-        if not is_enc:
+        # once per picture (multi-slice pictures share the list)
+        if not is_enc and len(plan.sao) != sps.num_ctbs:
             plan.sao = [SaoRec() for _ in range(sps.num_ctbs)]
 
     # -- helpers -------------------------------------------------------------
@@ -292,6 +303,10 @@ class CtuCoder:
             return False
         if self.tile_map4[y >> 2, x >> 2] != self.cur_tile:
             return False  # prediction never crosses tile boundaries
+        addr = ((y >> self.sps.log2_ctb_size) * self.sps.pic_width_ctbs
+                + (x >> self.sps.log2_ctb_size))
+        if self.plan.slice_of_ctb[addr] != self.slice_idx:
+            return False  # prediction never crosses slice boundaries
         return bool(self.avail[y >> 2, x >> 2])
 
     def _mark(self, x0: int, y0: int, size: int) -> None:
@@ -321,19 +336,32 @@ class CtuCoder:
         self.engine = self.substreams.get(seg_idx)
         self.io.e = self.engine
 
-    def code_slice_data(self) -> None:
+    def code_slice_data(self, n_ctbs: int | None = None) -> int:
+        """Code this slice's CTUs.  n_ctbs: encoder-side CTU count for this
+        slice (None = to picture end); the decoder stops at the
+        end_of_slice_segment_flag.  Returns the number of CTUs coded."""
         sps = self.sps
         ti = self.tile_info
         wc = sps.pic_width_ctbs
-        last_addr = ti.ctb_scan[-1] if ti.ctb_scan else sps.num_ctbs - 1
+        scan = ti.ctb_scan
+        start_pos = scan.index(self.start_ctb) if self.start_ctb else 0
+        if n_ctbs is None and self.is_enc:
+            n_ctbs = len(scan) - start_pos
+        end_pos_enc = (start_pos + n_ctbs) if n_ctbs is not None else None
+        last_addr = scan[end_pos_enc - 1] if end_pos_enc else scan[-1]
         wpp_snapshots: dict[int, tuple] = {}
         ctx = self.engine.ctx
         n_segs = len(ti.segments)
-        sao_decode_order = {}
+        coded = 0
+        done = False
         for seg_idx, seg in enumerate(ti.segments):
+            if self.start_ctb:
+                seg = [a for a in seg if scan.index(a) >= start_pos]
+            if not seg:
+                continue
             self.qps.start_segment(self.sh.slice_qp)
-            if seg_idx > 0:
-                assert self.substreams is not None,                     "multi-substream slice requires entry points"
+            if coded > 0 or (self.start_ctb == 0 and seg_idx > 0):
+                assert self.substreams is not None, "need entry points"
                 self._switch_engine(seg_idx)
                 if ti.wpp:
                     snap = wpp_snapshots.get(seg_idx - 1)
@@ -347,18 +375,28 @@ class CtuCoder:
                 xc = (addr % wc) << sps.log2_ctb_size
                 yc = (addr // wc) << sps.log2_ctb_size
                 self.cur_tile = int(ti.tile_of_ctb[addr])
+                self.plan.slice_of_ctb[addr] = self.slice_idx
                 if not self.is_enc and self.plan.tile_tu_starts is not None:
-                    if addr == seg[0] and not ti.wpp:
+                    if seg_idx > 0 and addr == seg[0] and not ti.wpp:
                         self.plan.tile_tu_starts.append(len(self.plan.tus))
                 if sps.sao_enabled and (self.sh.sao_luma or self.sh.sao_chroma):
                     self._code_sao(addr)
                 self._coding_quadtree(xc, yc, sps.log2_ctb_size, 0)
                 if ti.wpp and (addr % wc) == 1:
                     wpp_snapshots[addr // wc] = ctx.snapshot()
-                last = addr == last_addr
-                end = self.io.terminate(int(last))
-                if not self.is_enc and bool(end) != last:
-                    raise ValueError("end_of_slice_segment_flag mismatch")
+                coded += 1
+                if self.is_enc:
+                    last = addr == last_addr
+                    self.io.terminate(int(last))
+                    if last:
+                        done = True
+                        break
+                else:
+                    if self.io.terminate():
+                        done = True
+                        break
+            if done:
+                break
             if seg_idx < n_segs - 1:
                 # end_of_subset_one_bit (always 1) + byte alignment
                 got = self.io.terminate(1)
@@ -370,6 +408,7 @@ class CtuCoder:
                 ef[:, (cb << sps.log2_ctb_size) >> 2] &= ~1
             for rb in ti.row_bounds[1:-1]:
                 ef[(rb << sps.log2_ctb_size) >> 2, :] &= ~2
+        return coded
 
     # -- SAO (spec 7.3.8.3) --------------------------------------------------
     def _code_sao(self, ctb_addr: int) -> None:
@@ -377,10 +416,13 @@ class CtuCoder:
         rec = self.plan.sao[ctb_addr]
         wc = self.sps.pic_width_ctbs
         tof = self.tile_info.tile_of_ctb
+        sof = self.plan.slice_of_ctb
         left_ok = (ctb_addr % wc != 0
-                   and tof[ctb_addr - 1] == tof[ctb_addr])
+                   and tof[ctb_addr - 1] == tof[ctb_addr]
+                   and sof[ctb_addr - 1] == self.slice_idx)
         up_ok = (ctb_addr >= wc
-                 and tof[ctb_addr - wc] == tof[ctb_addr])
+                 and tof[ctb_addr - wc] == tof[ctb_addr]
+                 and sof[ctb_addr - wc] == self.slice_idx)
         merge = False
         if left_ok:
             rec.merge_left = bool(self.io.flag("sao_merge_flag", 0,
@@ -476,6 +518,8 @@ class CtuCoder:
     def _coding_unit(self, x0: int, y0: int, log2_size: int) -> None:
         sps = self.sps
         size = 1 << log2_size
+        if self.mctx is not None:
+            self.mctx.begin_cu()
         self.cu_bypass = False
         if self.pps.transquant_bypass_enabled:
             want = (int(self.planner.cu_bypass(x0, y0)) if self.is_enc else None)
@@ -552,7 +596,7 @@ class CtuCoder:
                 self.plan.tus.append(
                     TuRec(px, py, plog2, c, 1, samples, qp=self.sh.slice_qp,
                           pred_only=True, is_inter=True, pcm=True,
-                          tile=self.cur_tile))
+                          tile=self.cur_tile, slice_idx=self.slice_idx))
             from p265_tpu import native as native_mod
             if isinstance(self.engine.ctx, native_mod.NativeContextModels):
                 self.engine = native_mod.NativeCabacDecoder(r, self.engine.ctx)
@@ -1003,7 +1047,7 @@ class CtuCoder:
         else:
             self.plan.tus.append(
                 TuRec(x, y, log2, c_idx, mode, None, qp=qp, pred_only=True,
-                      is_inter=is_inter, tile=self.cur_tile))
+                      is_inter=is_inter, tile=self.cur_tile, slice_idx=self.slice_idx))
 
     def _code_residual(self, x, y, log2, c_idx, scan, mode, qp,
                        is_inter=False) -> None:
@@ -1028,14 +1072,18 @@ class CtuCoder:
                    else 3 * (1 if is_inter else 0) + c_idx)
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, levels, tskip,
                                        qp, is_inter=is_inter,
-                                       tile=self.cur_tile,
+                                       tile=self.cur_tile, slice_idx=self.slice_idx,
                                        bypass=self.cu_bypass, matrix_id=mid))
 
 
 def parse_slice_data(dec, sps: SPS, pps: PPS, sh: SliceHeader,
                      mctx: MotionCtx | None = None,
-                     substreams=None) -> FramePlan:
-    plan = FramePlan(sps, pps, sh)
-    CtuCoder(dec, sps, pps, sh, plan, is_enc=False, mctx=mctx,
-             substreams=substreams).code_slice_data()
-    return plan
+                     substreams=None, plan: FramePlan | None = None,
+                     slice_idx: int = 0) -> FramePlan:
+    if plan is None:
+        plan = FramePlan(sps, pps, sh)
+    coded = CtuCoder(dec, sps, pps, sh, plan, is_enc=False, mctx=mctx,
+                     substreams=substreams,
+                     start_ctb=sh.slice_segment_address,
+                     slice_idx=slice_idx).code_slice_data()
+    return plan, coded

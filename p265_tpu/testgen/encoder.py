@@ -36,6 +36,7 @@ from p265_tpu.hls.slice_header import (SLICE_B, SLICE_I, SLICE_P, SliceHeader,
                                        WeightTable, write_slice_header)
 from p265_tpu.syntax.ctu import (CtuCoder, EncodeSubstreams, FramePlan, PuRec,
                                  SaoRec, TuRec, pu_rects, wrap_mv)
+from p265_tpu.syntax.qp import QpState
 from p265_tpu.syntax.tiles import build_tile_info
 from p265_tpu.syntax.residual import apply_sign_data_hiding
 from p265_tpu.tables import residual_scan_idx
@@ -57,6 +58,7 @@ class EncPlanner:
     rqt_roots: dict = field(default_factory=dict)
     cu_bypasses: dict = field(default_factory=dict)
     pcms: dict = field(default_factory=dict)
+    qp_deltas: dict = field(default_factory=dict)
 
     def cu_split(self, x0, y0, log2, depth):
         return self.cu_splits[(x0, y0, log2)]
@@ -97,6 +99,9 @@ class EncPlanner:
     def pcm(self, x0, y0):
         return self.pcms.get((x0, y0), False)
 
+    def cu_qp_delta(self, x0, y0):
+        return self.qp_deltas.get((x0, y0), 0)
+
 
 @dataclass
 class _RefPic:
@@ -118,7 +123,7 @@ class Encoder:
     def encode_frame(self, yuv, *, poc: int = 0, slice_type: int = SLICE_I,
                      used_pocs: list[int] | None = None,
                      keep_pocs: list[int] | None = None,
-                     n_ref: tuple[int, int] = (1, 1)):
+                     n_ref: tuple[int, int] = (1, 1), num_slices: int = 1):
         """Encode one frame -> (nal_bytes, plan, prefilter_recon, filtered).
 
         used_pocs: reference POCs for this picture; keep_pocs: POCs that must
@@ -138,6 +143,12 @@ class Encoder:
         if slice_type == SLICE_B:
             n1 = min(n_ref[1], len(tmp1)) or (1 if tmp1 else 0)
             l1_pocs = [tmp1[i % len(tmp1)] for i in range(n1)] if tmp1 else []
+        # exercise ref_pic_list_modification: reverse L0 order occasionally
+        mod_l0 = None
+        if (pps.lists_modification_present and len(tmp0) > 1 and n0 > 1
+                and np.random.default_rng(self.seed + poc).random() < 0.7):
+            mod_l0 = [n0 - 1 - i for i in range(n0)]
+            l0_pocs = [tmp0[e] for e in mod_l0]
         self.rng = np.random.default_rng(self.seed + poc * 1031)
         self.orig = [p.astype(np.int32) for p in yuv]
         w, h = sps.pic_width, sps.pic_height
@@ -188,6 +199,8 @@ class Encoder:
                 used_s1=[int(p in used_pocs) for p in sorted(pos)])
             sh.st_rps_explicit = rps
             sh.st_rps_sps_flag = False
+            sh.num_pic_total_curr = sum(rps.used_s0) + sum(rps.used_s1)
+            sh.ref_pic_list_modification_l0 = mod_l0
 
         plan = FramePlan(sps, pps, sh)
         plan.alloc_maps()
@@ -207,8 +220,36 @@ class Encoder:
 
         self.tile_info = build_tile_info(sps, pps)
         self.cur_tile = 0
+        if num_slices > 1:
+            assert not (pps.tiles_enabled or pps.entropy_coding_sync_enabled), \
+                "multi-slice combined with tiles/WPP is not supported yet"
+        scan = self.tile_info.ctb_scan
+        per = (len(scan) + num_slices - 1) // num_slices
+        self.slice_chunks = [scan[i * per:(i + 1) * per]
+                             for i in range(num_slices) if scan[i * per:(i + 1) * per]]
+        self.slice_of_ctb_plan = np.zeros(sps.num_ctbs, np.int32)
+        for si, ch in enumerate(self.slice_chunks):
+            for a_ in ch:
+                self.slice_of_ctb_plan[a_] = si
+        slice_starts = {ch[0] for ch in self.slice_chunks[1:]}
+        self.cur_slice = 0
         plan.sao = [SaoRec() for _ in range(sps.num_ctbs)]
+        self._qp_scratch = np.full(plan.grid_shape(), self.qp, np.int32)
+        self.qp_plan = QpState(sps, pps, self._qp_scratch,
+                               lambda x, y: (0 <= x < sps.pic_width
+                                             and 0 <= y < sps.pic_height
+                                             and bool(self.avail[0][y >> 2,
+                                                                   x >> 2])))
+        seg_starts = {seg[0] for seg in self.tile_info.segments if seg}
         for ctb_addr in self.tile_info.ctb_scan:
+            if ctb_addr in seg_starts:
+                self.qp_plan.start_segment(self.qp)
+            self.cur_slice = int(self.slice_of_ctb_plan[ctb_addr])
+            if ctb_addr in slice_starts:
+                # prediction never crosses slice boundaries
+                for a_ in self.avail:
+                    a_[:] = False
+                self.qp_plan.start_segment(self.qp)
             t_id = int(self.tile_info.tile_of_ctb[ctb_addr])
             if t_id != self.cur_tile:
                 self.cur_tile = t_id
@@ -254,7 +295,8 @@ class Encoder:
         m.intra_map = self.plan.intra_map
         return m
 
-    def encode_sequence(self, frames, structure: str = "LDP"):
+    def encode_sequence(self, frames, structure: str = "LDP",
+                        num_slices: int = 1):
         """Encode a GOP: frame 0 IDR, rest P referencing the previous frame
         (LDP) or the two nearest (LDP2).  Returns (stream, recon list in
         decode order)."""
@@ -271,21 +313,22 @@ class Encoder:
         if structure in ("LDP", "LDP2"):
             for i, f in enumerate(frames):
                 if i == 0:
-                    nb, _, _, filt = self.encode_frame(f, poc=0,
-                                                       slice_type=SLICE_I)
+                    nb, _, _, filt = self.encode_frame(
+                        f, poc=0, slice_type=SLICE_I, num_slices=num_slices)
                 else:
                     n_refs = 2 if structure == "LDP2" else 1
                     l0 = [i - k for k in range(1, min(i, n_refs) + 1)]
                     nb, _, _, filt = self.encode_frame(
                         f, poc=i, slice_type=SLICE_P, used_pocs=l0,
-                        n_ref=(len(l0), 0))
+                        n_ref=(len(l0), 0), num_slices=num_slices)
                 out += nb
                 recons[i] = filt
         elif structure == "RA":
             # hierarchical mini-GOPs of 4: decode order 0, 4, 2, 1, 3, 8, 6, ...
             n = len(frames)
             nb, _, _, filt = self.encode_frame(frames[0], poc=0,
-                                               slice_type=SLICE_I)
+                                               slice_type=SLICE_I,
+                                               num_slices=num_slices)
             out += nb
             recons[0] = filt
             base = 0
@@ -295,7 +338,7 @@ class Encoder:
                     break
                 nb, _, _, filt = self.encode_frame(
                     frames[anchor], poc=anchor, slice_type=SLICE_P,
-                    used_pocs=[base], n_ref=(1, 0))
+                    used_pocs=[base], n_ref=(1, 0), num_slices=num_slices)
                 out += nb
                 recons[anchor] = filt
                 mids = [p for p in range(base + 1, anchor)]
@@ -307,7 +350,8 @@ class Encoder:
                             (base + 3, [m, anchor], [])):
                         nb, _, _, filt = self.encode_frame(
                             frames[poc_b], poc=poc_b, slice_type=SLICE_B,
-                            used_pocs=refs, keep_pocs=keeps, n_ref=(1, 1))
+                            used_pocs=refs, keep_pocs=keeps, n_ref=(1, 1),
+                            num_slices=num_slices)
                         out += nb
                         recons[poc_b] = filt
                 else:
@@ -315,7 +359,8 @@ class Encoder:
                         nb, _, _, filt = self.encode_frame(
                             frames[poc_b], poc=poc_b, slice_type=SLICE_B,
                             used_pocs=[base, anchor],
-                            keep_pocs=[], n_ref=(1, 1))
+                            keep_pocs=[], n_ref=(1, 1),
+                            num_slices=num_slices)
                         out += nb
                         recons[poc_b] = filt
                 base = anchor
@@ -328,9 +373,12 @@ class Encoder:
         rec = SaoRec()
         r = self.rng.random()
         tof = self.tile_info.tile_of_ctb
+        sof = self.slice_of_ctb_plan
         wc = self.sps.pic_width_ctbs
-        left_same = ctb_addr % wc != 0 and tof[ctb_addr - 1] == tof[ctb_addr]
-        up_same = ctb_addr >= wc and tof[ctb_addr - wc] == tof[ctb_addr]
+        left_same = (ctb_addr % wc != 0 and tof[ctb_addr - 1] == tof[ctb_addr]
+                     and sof[ctb_addr - 1] == sof[ctb_addr])
+        up_same = (ctb_addr >= wc and tof[ctb_addr - wc] == tof[ctb_addr]
+                   and sof[ctb_addr - wc] == sof[ctb_addr])
         if left_same and r < 0.15:
             rec.merge_left = True
             src = self.plan.sao[ctb_addr - 1]  # raster-indexed
@@ -362,6 +410,10 @@ class Encoder:
     def _plan_cq(self, x0, y0, log2_size, depth):
         sps = self.sps
         size = 1 << log2_size
+        if self.qp_plan.enabled and log2_size >= self.qp_plan.min_qg_log2:
+            self.qp_plan.maybe_start_qg(x0, y0, log2_size)
+            if (x0, y0) not in self.planner.qp_deltas:
+                self.planner.qp_deltas[(x0, y0)] = int(self.rng.integers(-2, 3))
         inside = (x0 + size <= sps.pic_width) and (y0 + size <= sps.pic_height)
         can_split = log2_size > sps.log2_min_cb_size
         if inside and can_split:
@@ -381,6 +433,8 @@ class Encoder:
 
     # -- CU planning ---------------------------------------------------------
     def _plan_cu(self, x0, y0, log2_size):
+        if self.mctx is not None:
+            self.mctx.begin_cu()
         self._cur_bypass = False
         if self.pps.transquant_bypass_enabled:
             self._cur_bypass = bool(self.rng.random() < 0.25)
@@ -440,6 +494,7 @@ class Encoder:
         max_depth = sps.max_transform_hierarchy_depth_intra + intra_split
         self._plan_tt(x0, y0, x0, y0, log2_size, 0, 0, modes, chroma_mode,
                       intra_split, max_depth, None)
+        self._end_cu_qp(x0, y0, size)
 
     def _plan_pcm_cu(self, x0, y0, log2_size):
         sps = self.sps
@@ -455,13 +510,15 @@ class Encoder:
             self.plan.tus.append(TuRec(px, py, plog2, c, 1, samples,
                                        qp=self.qp, pred_only=True,
                                        is_inter=True, pcm=True,
-                                       tile=self.cur_tile))
+                                       tile=self.cur_tile,
+                                       slice_idx=self.cur_slice))
             self.rec[c][py:py + psz, px:px + psz] = samples
             self.avail[c][py >> 2:(py + psz) >> 2, px >> 2:(px + psz) >> 2] = True
         self.plan.intra_mode_map[y0 >> 2:(y0 + size) >> 2,
                                  x0 >> 2:(x0 + size) >> 2] = 1
         self.plan.intra_map[y0 >> 2:(y0 + size) >> 2,
                             x0 >> 2:(x0 + size) >> 2] = 1
+        self._end_cu_qp(x0, y0, size)
 
     def _set_intra_maps(self, x0, y0, size, modes, pb):
         g = self.plan
@@ -691,6 +748,7 @@ class Encoder:
             self.planner.rqt_roots[(x0, y0)] = True
             if is_merge_2n:
                 pass  # rqt_root_cbf inferred 1 for 2Nx2N merge
+        self._end_cu_qp(x0, y0, size)
 
     def _emit_pred_only_cu(self, x0, y0, size, pred):
         """Write MC prediction as recon; emit CU-covering pred_only records."""
@@ -703,7 +761,8 @@ class Encoder:
             self.avail[c][py >> 2:(py + psz) >> 2, px >> 2:(px + psz) >> 2] = True
             self.plan.tus.append(TuRec(px, py, plog2, c, -1, None, qp=self.qp,
                                        pred_only=True, is_inter=True,
-                                       tile=self.cur_tile))
+                                       tile=self.cur_tile,
+                                       slice_idx=self.cur_slice))
 
     # -- transform tree planning (intra pred_src=None; inter pred_src=planes) -
     def _plan_tt(self, x0, y0, x_base, y_base, log2_size, depth, blk_idx,
@@ -756,6 +815,28 @@ class Encoder:
                     val = val or v
             self.planner.cbfs[key] = val
 
+    def _end_cu_qp(self, x0, y0, size):
+        h4w = self._qp_scratch.shape
+        x1 = min(x0 + size, self.sps.pic_width)
+        y1 = min(y0 + size, self.sps.pic_height)
+        self._qp_scratch[y0 >> 2:(y1 + 3) >> 2,
+                         x0 >> 2:(x1 + 3) >> 2] = self.qp_plan.qp()
+        self.qp_plan.end_cu()
+
+    def _luma_qp_now(self):
+        """Planning-side luma QP: the QG's intended delta applies tentatively
+        before the first coded TU makes it official (mirrors decode order)."""
+        qs = self.qp_plan
+        if qs.enabled and not qs.delta_coded:
+            intended = self.planner.qp_deltas.get(qs.qg_xy, 0)
+            return (qs.pred + intended + 52) % 52
+        return qs.qp()
+
+    def _commit_qp_delta(self):
+        qs = self.qp_plan
+        if qs.enabled and not qs.delta_coded:
+            qs.set_delta(self.planner.qp_deltas.get(qs.qg_xy, 0))
+
     def _plan_tu(self, x, y, log2, c_idx, mode, pred_src):
         size = 1 << log2
         plane, avail = self.rec[c_idx], self.avail[c_idx]
@@ -770,7 +851,8 @@ class Encoder:
             oy = y - (cu_y >> (0 if c_idx == 0 else 1))
             pred = planes_[c_idx][oy:oy + size, ox:ox + size]
         resid = orig - pred
-        qp = tu_qp(self.plan, c_idx, self.qp)
+        luma_qp = self._luma_qp_now()
+        qp = tu_qp(self.plan, c_idx, luma_qp)
         tskip = False
         bypass = getattr(self, "_cur_bypass", False)
         if bypass:
@@ -789,6 +871,7 @@ class Encoder:
         cbf = bool(levels.any())
         self.planner.cbfs[(x, y, log2, c_idx)] = cbf
         if cbf:
+            self._commit_qp_delta()
             if bypass:
                 res = levels
             else:
@@ -803,14 +886,16 @@ class Encoder:
                            d, log2, is_intra and c_idx == 0 and log2 == 2))
             rec = np.clip(pred + res, 0, 255)
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, levels, tskip,
-                                       self.qp, is_inter=not is_intra,
-                                       tile=self.cur_tile, bypass=bypass))
+                                       luma_qp, is_inter=not is_intra,
+                                       tile=self.cur_tile, slice_idx=self.cur_slice,
+                                       bypass=bypass))
         else:
             rec = pred
             self.plan.tus.append(TuRec(x, y, log2, c_idx, mode, None,
-                                       qp=self.qp, pred_only=True,
+                                       qp=luma_qp, pred_only=True,
                                        is_inter=not is_intra,
-                                       tile=self.cur_tile))
+                                       tile=self.cur_tile,
+                                       slice_idx=self.cur_slice))
         plane[y:y + size, x:x + size] = rec
         avail[y >> 2:(y + size) >> 2, x >> 2:(x + size) >> 2] = True
 
@@ -822,6 +907,25 @@ class Encoder:
         mctx = None
         if sh.slice_type != SLICE_I:
             mctx = self._make_mctx(sh, poc, l0_pocs, l1_pocs)
+        if len(self.slice_chunks) > 1:
+            import copy
+            out = b""
+            iters = (iter(plan.tus), iter(plan.pus))
+            for si, chunk in enumerate(self.slice_chunks):
+                shs = copy.copy(sh)
+                shs.first_slice_in_pic = si == 0
+                shs.slice_segment_address = chunk[0]
+                w = BitWriter()
+                write_slice_header(w, shs, sps, pps)
+                ctx.reinit(sh.init_type(), sh.slice_qp)
+                enc = CabacEncoder(w, ctx)
+                coder = CtuCoder(enc, sps, pps, shs, plan, is_enc=True,
+                                 planner=self.planner, mctx=mctx,
+                                 start_ctb=chunk[0], slice_idx=si, iters=iters)
+                coder.code_slice_data(n_ctbs=len(chunk))
+                w.rbsp_trailing_bits()
+                out += nal.make_nal(sh.nal_type, w.get_bytes())
+            return out
         if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
             provider = EncodeSubstreams(ctx)
             coder = CtuCoder(None, sps, pps, sh, plan, is_enc=True,

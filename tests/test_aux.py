@@ -33,14 +33,13 @@ def test_error_resilience_resync_at_irap():
     stream, recons = _two_gop_stream()
     units = nal.split_nal_units(stream)
     slice_idx = [i for i, u in enumerate(units) if nal.is_slice_nal(u.nal_type)]
-    # corrupt the 2nd slice (P frame of first GOP)
+    # corrupt the 2nd slice (P frame of first GOP): truncate its payload so
+    # the CABAC engine starves deterministically
     bad_units = []
     for i, u in enumerate(units):
         rbsp = u.rbsp
         if i == slice_idx[1]:
-            b = bytearray(rbsp)
-            b[len(b) // 2] ^= 0x5A
-            rbsp = bytes(b)
+            rbsp = rbsp[:max(8, len(rbsp) // 3)]
         bad_units.append(nal.make_nal(u.nal_type, rbsp))
     bad = b"".join(bad_units)
 
