@@ -17,7 +17,11 @@ def _cmd_decode(args):
 
     from p265_tpu import yuv
     if args.backend == "tpu":
-        from p265_tpu.pipeline.decoder import TpuDecoder as Dec
+        if args.pipelined:
+            from p265_tpu.pipeline.async_decoder import \
+                PipelinedTpuDecoder as Dec
+        else:
+            from p265_tpu.pipeline.decoder import TpuDecoder as Dec
     else:
         from p265_tpu.golden.decoder import GoldenDecoder as Dec
     dec = Dec()
@@ -124,6 +128,8 @@ def main(argv=None):
     d.add_argument("--metrics", help="append JSONL run metrics to this file")
     d.add_argument("--resilient", action="store_true",
                    help="skip corrupt slices, resync at next IRAP")
+    d.add_argument("--pipelined", action="store_true",
+                   help="overlap host parse with device reconstruction")
     d.set_defaults(fn=_cmd_decode)
 
     e = sub.add_parser("encode", help="encode YUV (or synthetic) to HEVC")
