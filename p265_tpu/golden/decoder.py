@@ -142,6 +142,16 @@ class DecoderBase:
         t0 = _time.perf_counter()
         sh, sps, pps, off = parse_slice_header(
             unit.rbsp, unit.nal_type, self.sps_map, self.pps_map)
+        if sh.dependent_slice_segment:
+            # inherit every slice-level value from the preceding independent
+            # slice segment (spec 7.4.7.1)
+            prev = self._pic["last_indep_sh"]
+            addr = sh.slice_segment_address
+            import copy
+            sh = copy.copy(prev)
+            sh.dependent_slice_segment = True
+            sh.first_slice_in_pic = False
+            sh.slice_segment_address = addr
         if self.dpb is None:
             self.dpb = DPB(sps)
         if sh.first_slice_in_pic:
@@ -177,34 +187,49 @@ class DecoderBase:
             plan.l1_pocs = [p.poc for p in l1]
             self._pic = {"plan": plan, "mctx": mctx, "sps": sps, "pps": pps,
                          "poc": poc, "nal_type": unit.nal_type, "ctbs": 0,
-                         "n_slices": 0, "bytes": 0}
+                         "n_slices": 0, "bytes": 0, "last_indep_sh": None,
+                         "dep_ctx": None, "dep_avail": None}
         assert self._pic is not None, "slice without first_slice_in_pic start"
         pic_st = self._pic
         plan, mctx, sps = pic_st["plan"], pic_st["mctx"], pic_st["sps"]
 
         from p265_tpu import native as native_mod
         use_native = self.use_native_cabac and native_mod.available()
+        dependent = sh.dependent_slice_segment
         if use_native:
             ctx = native_mod.NativeContextModels(sh.init_type(), sh.slice_qp)
         else:
             ctx = ContextModels(sh.init_type(), sh.slice_qp)
+        if dependent and pic_st["dep_ctx"] is not None:
+            ctx.restore(pic_st["dep_ctx"])
+        carry = pic_st["dep_avail"] if dependent else None
+        # a dependent segment continues the same slice (same slice index)
+        slice_idx = pic_st["n_slices"] - (1 if dependent else 0)
         if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
             from p265_tpu.syntax.ctu import DecodeSubstreams
             provider = DecodeSubstreams(unit.rbsp[off:],
                                         sh.entry_point_offsets, ctx)
-            _, coded = parse_slice_data(None, sps, pps, sh, mctx,
-                                        substreams=provider, plan=plan,
-                                        slice_idx=pic_st["n_slices"])
+            _, coded, coder = parse_slice_data(None, sps, pps, sh, mctx,
+                                               substreams=provider, plan=plan,
+                                               slice_idx=slice_idx,
+                                               carry_avail=carry)
         else:
             if use_native:
                 dec = native_mod.NativeCabacDecoder(
                     BitReader(unit.rbsp[off:]), ctx)
             else:
                 dec = CabacDecoder(BitReader(unit.rbsp[off:]), ctx)
-            _, coded = parse_slice_data(dec, sps, pps, sh, mctx, plan=plan,
-                                        slice_idx=pic_st["n_slices"])
+            _, coded, coder = parse_slice_data(dec, sps, pps, sh, mctx,
+                                               plan=plan,
+                                               slice_idx=slice_idx,
+                                               carry_avail=carry)
+        if pps.dependent_slice_segments_enabled:
+            pic_st["dep_ctx"] = ctx.snapshot()
+            pic_st["dep_avail"] = coder.avail
+        if not dependent:
+            pic_st["last_indep_sh"] = sh
         pic_st["ctbs"] += coded
-        pic_st["n_slices"] += 1
+        pic_st["n_slices"] += 0 if dependent else 1
         pic_st["bytes"] += len(unit.rbsp)
         self.stats["parse_s"] += _time.perf_counter() - t0
         if pic_st["ctbs"] > sps.num_ctbs:

@@ -241,7 +241,8 @@ class CtuCoder:
     def __init__(self, engine, sps: SPS, pps: PPS, sh: SliceHeader,
                  plan: FramePlan, is_enc: bool, planner=None,
                  mctx: MotionCtx | None = None, substreams=None,
-                 start_ctb: int = 0, slice_idx: int = 0, iters=None):
+                 start_ctb: int = 0, slice_idx: int = 0, iters=None,
+                 carry_avail=None):
         self.substreams = substreams
         if substreams is not None:
             engine = substreams.get(0)
@@ -258,7 +259,8 @@ class CtuCoder:
         self.mode_map = plan.intra_mode_map
         self.depth_map = plan.ct_depth_map
         h4, w4 = plan.grid_shape()
-        self.avail = np.zeros((h4, w4), bool)
+        self.avail = (carry_avail if carry_avail is not None
+                      else np.zeros((h4, w4), bool))
         self.tile_info = build_tile_info(sps, pps)
         self.cur_tile = 0
         # static tile-id map at 4x4 granularity
@@ -1079,11 +1081,12 @@ class CtuCoder:
 def parse_slice_data(dec, sps: SPS, pps: PPS, sh: SliceHeader,
                      mctx: MotionCtx | None = None,
                      substreams=None, plan: FramePlan | None = None,
-                     slice_idx: int = 0) -> FramePlan:
+                     slice_idx: int = 0, carry_avail=None):
     if plan is None:
         plan = FramePlan(sps, pps, sh)
-    coded = CtuCoder(dec, sps, pps, sh, plan, is_enc=False, mctx=mctx,
+    coder = CtuCoder(dec, sps, pps, sh, plan, is_enc=False, mctx=mctx,
                      substreams=substreams,
                      start_ctb=sh.slice_segment_address,
-                     slice_idx=slice_idx).code_slice_data()
-    return plan, coded
+                     slice_idx=slice_idx, carry_avail=carry_avail)
+    coded = coder.code_slice_data()
+    return plan, coded, coder

@@ -123,7 +123,8 @@ class Encoder:
     def encode_frame(self, yuv, *, poc: int = 0, slice_type: int = SLICE_I,
                      used_pocs: list[int] | None = None,
                      keep_pocs: list[int] | None = None,
-                     n_ref: tuple[int, int] = (1, 1), num_slices: int = 1):
+                     n_ref: tuple[int, int] = (1, 1), num_slices: int = 1,
+                     dependent_slices: bool = False):
         """Encode one frame -> (nal_bytes, plan, prefilter_recon, filtered).
 
         used_pocs: reference POCs for this picture; keep_pocs: POCs that must
@@ -220,18 +221,24 @@ class Encoder:
 
         self.tile_info = build_tile_info(sps, pps)
         self.cur_tile = 0
+        self.dependent_slices = dependent_slices
         if num_slices > 1:
             assert not (pps.tiles_enabled or pps.entropy_coding_sync_enabled), \
                 "multi-slice combined with tiles/WPP is not supported yet"
+            if dependent_slices:
+                assert pps.dependent_slice_segments_enabled
         scan = self.tile_info.ctb_scan
         per = (len(scan) + num_slices - 1) // num_slices
         self.slice_chunks = [scan[i * per:(i + 1) * per]
                              for i in range(num_slices) if scan[i * per:(i + 1) * per]]
         self.slice_of_ctb_plan = np.zeros(sps.num_ctbs, np.int32)
-        for si, ch in enumerate(self.slice_chunks):
-            for a_ in ch:
-                self.slice_of_ctb_plan[a_] = si
-        slice_starts = {ch[0] for ch in self.slice_chunks[1:]}
+        if not dependent_slices:
+            for si, ch in enumerate(self.slice_chunks):
+                for a_ in ch:
+                    self.slice_of_ctb_plan[a_] = si
+        # dependent segments continue one slice: no prediction barriers
+        slice_starts = (set() if dependent_slices
+                        else {ch[0] for ch in self.slice_chunks[1:]})
         self.cur_slice = 0
         plan.sao = [SaoRec() for _ in range(sps.num_ctbs)]
         self._qp_scratch = np.full(plan.grid_shape(), self.qp, np.int32)
@@ -911,18 +918,25 @@ class Encoder:
             import copy
             out = b""
             iters = (iter(plan.tus), iter(plan.pus))
+            dep = self.dependent_slices
+            carry = None
             for si, chunk in enumerate(self.slice_chunks):
                 shs = copy.copy(sh)
                 shs.first_slice_in_pic = si == 0
                 shs.slice_segment_address = chunk[0]
+                shs.dependent_slice_segment = dep and si > 0
                 w = BitWriter()
                 write_slice_header(w, shs, sps, pps)
-                ctx.reinit(sh.init_type(), sh.slice_qp)
+                if not (dep and si > 0):
+                    ctx.reinit(sh.init_type(), sh.slice_qp)
                 enc = CabacEncoder(w, ctx)
                 coder = CtuCoder(enc, sps, pps, shs, plan, is_enc=True,
                                  planner=self.planner, mctx=mctx,
-                                 start_ctb=chunk[0], slice_idx=si, iters=iters)
+                                 start_ctb=chunk[0],
+                                 slice_idx=0 if dep else si, iters=iters,
+                                 carry_avail=carry if dep and si > 0 else None)
                 coder.code_slice_data(n_ctbs=len(chunk))
+                carry = coder.avail
                 w.rbsp_trailing_bits()
                 out += nal.make_nal(sh.nal_type, w.get_bytes())
             return out

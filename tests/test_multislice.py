@@ -52,3 +52,23 @@ def test_multislice_p_gop():
         assert len(set(f.plan.slice_of_ctb.tolist())) == 2
         for c in range(3):
             assert np.array_equal(f.planes[c], recons[f.poc][c])
+
+
+def test_dependent_slice_segments():
+    from p265_tpu.pipeline.decoder import TpuDecoder
+    sps = SPS(pic_width=256, pic_height=128)
+    pps = PPS(init_qp=31, sign_data_hiding=True,
+              dependent_slice_segments_enabled=True)
+    enc = Encoder(sps, pps, qp=31, seed=33)
+    img = make_test_image(256, 128, 33)
+    nb, plan, prefilter, filtered = enc.encode_frame(
+        img, poc=0, slice_type=SLICE_I, num_slices=3, dependent_slices=True)
+    stream = _param_nals(sps, pps) + nb
+    units = [u for u in N.split_nal_units(stream) if N.is_slice_nal(u.nal_type)]
+    assert len(units) == 3
+    g = GoldenDecoder().decode_stream(stream)[0]
+    for c in range(3):
+        assert np.array_equal(g.planes[c], filtered[c])
+    t = TpuDecoder().decode_stream(stream)[0]
+    for c in range(3):
+        assert np.array_equal(t.planes[c], g.planes[c])
