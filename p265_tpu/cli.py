@@ -54,6 +54,7 @@ def _cmd_encode(args):
     w, h = (int(v) for v in args.size.split("x"))
     sps = SPS(pic_width=w, pic_height=h,
               temporal_mvp_enabled=args.gop != "AI",
+              long_term_ref_pics_present=args.gop == "LDP-LT",
               num_reorder_pics=2 if args.gop == "RA" else 0,
               max_dec_pic_buffering=5)
     tiles = None
@@ -139,7 +140,8 @@ def main(argv=None):
     e.add_argument("--size", required=True, help="WxH")
     e.add_argument("--qp", type=int, default=32)
     e.add_argument("--frames", type=int, default=5)
-    e.add_argument("--gop", choices=("AI", "LDP", "LDP2", "RA"), default="LDP")
+    e.add_argument("--gop", choices=("AI", "LDP", "LDP2", "LDP-LT", "RA"),
+                   default="LDP")
     e.add_argument("--tiles", help="CxR tile grid")
     e.add_argument("--wpp", action="store_true")
     e.add_argument("--seed", type=int, default=0)

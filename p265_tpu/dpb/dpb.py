@@ -19,6 +19,7 @@ class Picture:
     poc: int
     planes: list           # post-filter [y, cb, cr] (np or device arrays)
     is_reference: bool = True
+    is_long_term: bool = False
     needed_for_output: bool = True
     # TMVP metadata at 16x16 granularity (spec motion compression)
     col_mv: np.ndarray | None = None       # [h16, w16, 2, 2]
@@ -71,10 +72,40 @@ class DPB:
         for d, used in zip(rps.delta_poc_s0 + rps.delta_poc_s1,
                            rps.used_s0 + rps.used_s1):
             keep.add(poc + d)
+        lt_pics = {id(p) for p in self._lt_match(sh, poc, used_only=False)}
         for p in self.pics:
-            if p.poc not in keep:
+            if id(p) in lt_pics:
+                p.is_reference = True
+                p.is_long_term = True
+            elif p.poc in keep:
+                p.is_reference = True
+                p.is_long_term = False
+            else:
                 p.is_reference = False
         self._flush_unneeded()
+
+    def _lt_match(self, sh: SliceHeader, poc: int, used_only: bool
+                  ) -> list[Picture]:
+        """Pictures referenced by the slice's long-term entries (spec 8.3.2
+        PocLtCurr/PocLtFoll), in signaled order."""
+        out = []
+        max_lsb = self.sps.max_poc_lsb
+        for e in getattr(sh, "lt_entries", []):
+            if used_only and not e["used"]:
+                continue
+            if e["msb_present"]:
+                target = (poc - (poc & (max_lsb - 1))
+                          - e["msb_cycle"] * max_lsb + e["poc_lsb"])
+                match = [p for p in self.pics if p.poc == target]
+            else:
+                match = [p for p in self.pics
+                         if (p.poc & (max_lsb - 1)) == e["poc_lsb"]
+                         and p.is_reference]
+            if not match:
+                raise ValueError(
+                    f"long-term reference poc_lsb={e['poc_lsb']} not in DPB")
+            out.append(match[-1])
+        return out
 
     def _slice_rps(self, sh: SliceHeader) -> ShortTermRPS:
         if sh.st_rps_explicit is not None:
@@ -99,7 +130,8 @@ class DPB:
         if len(st_before) != len(before) or len(st_after) != len(after):
             missing = [p for p in before + after if p not in by_poc]
             raise ValueError(f"reference pictures missing from DPB: {missing}")
-        tmp0 = st_before + st_after
+        lt_curr = self._lt_match(sh, poc, used_only=True)
+        tmp0 = st_before + st_after + lt_curr
         if sh.ref_pic_list_modification_l0 is not None:
             l0 = [tmp0[e] for e in sh.ref_pic_list_modification_l0]
         else:
@@ -107,7 +139,7 @@ class DPB:
                   for i in range(sh.num_ref_idx_l0_active)] if tmp0 else []
         l1 = []
         if sh.slice_type == SLICE_B:
-            tmp1 = st_after + st_before
+            tmp1 = st_after + st_before + lt_curr
             if sh.ref_pic_list_modification_l1 is not None:
                 l1 = [tmp1[e] for e in sh.ref_pic_list_modification_l1]
             else:

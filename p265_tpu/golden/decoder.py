@@ -169,17 +169,22 @@ class DecoderBase:
             if sh.slice_type != SLICE_I:
                 col_mv = col_rp = None
                 col_poc = None
+                col_lt = None
                 if sh.temporal_mvp_enabled:
                     col_list = l0 if sh.collocated_from_l0 else l1
                     col = col_list[sh.collocated_ref_idx]
                     col_mv, col_rp = col.col_mv, col.col_ref_poc
+                    col_lt = col.col_is_long_term
                     col_poc = col.poc
                 h4 = (sps.pic_height + 3) >> 2
                 w4 = (sps.pic_width + 3) >> 2
                 mctx = MotionCtx(sps, sh, poc, [p.poc for p in l0],
                                  [p.poc for p in l1], (h4, w4),
                                  col_mv=col_mv, col_ref_poc=col_rp,
-                                 col_poc=col_poc)
+                                 col_poc=col_poc,
+                                 l0_lt=[p.is_long_term for p in l0],
+                                 l1_lt=[p.is_long_term for p in l1],
+                                 col_lt=col_lt)
             plan = FramePlan(sps, pps, sh)
             plan.alloc_maps()
             plan.poc = poc
@@ -270,11 +275,13 @@ class DecoderBase:
         if mctx is not None:
             pic.col_mv = mctx.mv[::4, ::4].copy()
             pic.col_ref_poc = mctx.ref_poc[::4, ::4].copy()
+            pic.col_is_long_term = mctx.lt[::4, ::4].copy()
         else:
             h16 = (sps.pic_height + 15) >> 4
             w16 = (sps.pic_width + 15) >> 4
             pic.col_mv = np.zeros((h16, w16, 2, 2), np.int32)
             pic.col_ref_poc = np.full((h16, w16, 2), NO_REF, np.int32)
+            pic.col_is_long_term = np.zeros((h16, w16, 2), bool)
         self._decoded.append(frame)
         self.dpb.insert(pic)
 

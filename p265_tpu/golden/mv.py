@@ -2,8 +2,9 @@
 
 Shared verbatim by decoder and testgen encoder so the candidate derivation can
 never desynchronize.  Operates on per-4x4 motion grids built up in decode
-order.  Long-term references are not yet supported (SPS writer never emits
-them).
+order.  Long-term references carry per-lane lt flags: AMVP/TMVP scaling is
+suppressed between two long-term refs and a candidate is invalid when the
+lt-ness of its reference differs from the target's (spec 8.5.3.2.7/.8).
 """
 from __future__ import annotations
 
@@ -42,6 +43,7 @@ class Motion:
     mv: list = field(default_factory=lambda: [(0, 0), (0, 0)])
     ref_idx: list = field(default_factory=lambda: [-1, -1])
     ref_poc: list = field(default_factory=lambda: [NO_REF, NO_REF])
+    lt: list = field(default_factory=lambda: [False, False])   # long-term ref
 
     def uses(self, lx: int) -> bool:
         return self.ref_idx[lx] >= 0
@@ -56,7 +58,8 @@ class Motion:
         return True
 
     def copy(self) -> "Motion":
-        return Motion(list(self.mv), list(self.ref_idx), list(self.ref_poc))
+        return Motion(list(self.mv), list(self.ref_idx), list(self.ref_poc),
+                      list(self.lt))
 
 
 class MotionCtx:
@@ -64,11 +67,14 @@ class MotionCtx:
 
     def __init__(self, sps, sh, poc: int, l0_pocs: list[int], l1_pocs: list[int],
                  grid_shape: tuple[int, int], avail_fn=None, intra_map=None,
-                 col_mv=None, col_ref_poc=None, col_poc: int | None = None):
+                 col_mv=None, col_ref_poc=None, col_poc: int | None = None,
+                 l0_lt=None, l1_lt=None, col_lt=None):
         self.sps = sps
         self.sh = sh
         self.poc = poc
         self.list_pocs = [l0_pocs, l1_pocs]
+        self.list_lt = [l0_lt or [False] * len(l0_pocs),
+                        l1_lt or [False] * len(l1_pocs)]
         # avail_fn / intra_map are wired by CtuCoder (late binding: the plan's
         # maps and the coder's availability grid exist after this object)
         self.avail = avail_fn              # (x, y) -> z-order availability
@@ -77,6 +83,7 @@ class MotionCtx:
         self.mv = np.zeros((h4, w4, 2, 2), np.int32)
         self.ref_idx = np.full((h4, w4, 2), -1, np.int32)
         self.ref_poc = np.full((h4, w4, 2), NO_REF, np.int32)
+        self.lt = np.zeros((h4, w4, 2), bool)
         # PU motion becomes visible to later PUs of the same CU before the
         # CU's samples are reconstructed (AMVP may read PU0 from PU1).
         # Scoped by a per-CU serial so visibility never leaks across CU /
@@ -86,6 +93,7 @@ class MotionCtx:
         self.col_mv = col_mv               # [h16, w16, 2, 2] of collocated pic
         self.col_ref_poc = col_ref_poc
         self.col_poc = col_poc
+        self.col_lt = col_lt               # [h16, w16, 2] bool, or None
         # NoBackwardPredFlag: every ref in both lists has POC <= current
         self.no_backward = all(p <= poc for p in l0_pocs + l1_pocs)
 
@@ -101,6 +109,7 @@ class MotionCtx:
             self.mv[y4a:y4b, x4a:x4b, lx, 1] = m.mv[lx][1]
             self.ref_idx[y4a:y4b, x4a:x4b, lx] = m.ref_idx[lx]
             self.ref_poc[y4a:y4b, x4a:x4b, lx] = m.ref_poc[lx]
+            self.lt[y4a:y4b, x4a:x4b, lx] = m.lt[lx]
         self.motion_coded[y4a:y4b, x4a:x4b] = self.cur_cu
 
     def motion_at(self, x: int, y: int) -> Motion | None:
@@ -121,6 +130,7 @@ class MotionCtx:
             m.mv[lx] = (int(self.mv[y4, x4, lx, 0]), int(self.mv[y4, x4, lx, 1]))
             m.ref_idx[lx] = int(self.ref_idx[y4, x4, lx])
             m.ref_poc[lx] = int(self.ref_poc[y4, x4, lx])
+            m.lt[lx] = bool(self.lt[y4, x4, lx])
         return m
 
     # -- temporal candidate --------------------------------------------------
@@ -134,7 +144,9 @@ class MotionCtx:
         rp = self.col_ref_poc[y16, x16]
         if rp[0] == NO_REF and rp[1] == NO_REF:
             return None
-        return (self.col_mv[y16, x16], rp)
+        lt = (self.col_lt[y16, x16] if self.col_lt is not None
+              else np.zeros(2, bool))
+        return (self.col_mv[y16, x16], rp, lt)
 
     def temporal_candidate(self, x_pb: int, y_pb: int, n_w: int, n_h: int,
                            lx: int, ref_idx: int) -> tuple[int, int] | None:
@@ -154,7 +166,7 @@ class MotionCtx:
             cand = self._col_motion_at((xc >> 4) << 4, (yc >> 4) << 4)
         if cand is None:
             return None
-        col_mvs, col_rp = cand
+        col_mvs, col_rp, col_lt = cand
         # pick which col list to read (spec 8.5.3.2.9)
         if col_rp[0] == NO_REF:
             l_col = 1
@@ -166,6 +178,13 @@ class MotionCtx:
             l_col = 0 if self.sh.collocated_from_l0 else 1
         mv_col = (int(col_mvs[l_col][0]), int(col_mvs[l_col][1]))
         ref_poc_col = int(col_rp[l_col])
+        # lt-ness mismatch -> unavailable; both long-term -> unscaled
+        # (spec 8.5.3.2.8: LongTermRefPic equality gate)
+        target_lt = bool(self.list_lt[lx][ref_idx])
+        if bool(col_lt[l_col]) != target_lt:
+            return None
+        if target_lt:
+            return mv_col
         tb = self.poc - self.list_pocs[lx][ref_idx]
         td = self.col_poc - ref_poc_col
         if td == 0:
@@ -227,6 +246,7 @@ def derive_merge_list(ctx: MotionCtx, x_cu: int, y_cu: int, cu_size: int,
             m.mv[0] = mv0
             m.ref_idx[0] = 0
             m.ref_poc[0] = ctx.list_pocs[0][0]
+            m.lt[0] = bool(ctx.list_lt[0][0])
             got = True
         if is_b and got:
             mv1 = ctx.temporal_candidate(x_pb, y_pb, n_w, n_h, 1, 0)
@@ -234,6 +254,7 @@ def derive_merge_list(ctx: MotionCtx, x_cu: int, y_cu: int, cu_size: int,
                 m.mv[1] = mv1
                 m.ref_idx[1] = 0
                 m.ref_poc[1] = ctx.list_pocs[1][0]
+                m.lt[1] = bool(ctx.list_lt[1][0])
         if got:
             cands.append(m)
     cands = cands[:max_cands]
@@ -251,6 +272,7 @@ def derive_merge_list(ctx: MotionCtx, x_cu: int, y_cu: int, cu_size: int,
             m = Motion()
             m.mv[0], m.ref_idx[0], m.ref_poc[0] = ci.mv[0], ci.ref_idx[0], ci.ref_poc[0]
             m.mv[1], m.ref_idx[1], m.ref_poc[1] = cj.mv[1], cj.ref_idx[1], cj.ref_poc[1]
+            m.lt[0], m.lt[1] = ci.lt[0], cj.lt[1]
             cands.append(m)
             if len(cands) == max_cands:
                 break
@@ -264,10 +286,12 @@ def derive_merge_list(ctx: MotionCtx, x_cu: int, y_cu: int, cu_size: int,
         m.mv[0] = (0, 0)
         m.ref_idx[0] = r
         m.ref_poc[0] = ctx.list_pocs[0][r] if n0 else NO_REF
+        m.lt[0] = bool(ctx.list_lt[0][r]) if n0 else False
         if is_b:
             m.mv[1] = (0, 0)
             m.ref_idx[1] = r
             m.ref_poc[1] = ctx.list_pocs[1][r]
+            m.lt[1] = bool(ctx.list_lt[1][r])
         cands.append(m)
         zidx += 1
     # 8x4/4x8 PUs: bi candidates become uni L0 (spec 8.5.3.2.3 final step)
@@ -277,6 +301,7 @@ def derive_merge_list(ctx: MotionCtx, x_cu: int, y_cu: int, cu_size: int,
                 m.ref_idx[1] = -1
                 m.ref_poc[1] = NO_REF
                 m.mv[1] = (0, 0)
+                m.lt[1] = False
     return cands
 
 
@@ -288,6 +313,7 @@ def derive_merge_list(ctx: MotionCtx, x_cu: int, y_cu: int, cu_size: int,
 def derive_amvp(ctx: MotionCtx, x_pb: int, y_pb: int, n_w: int, n_h: int,
                 lx: int, ref_idx: int) -> list[tuple[int, int]]:
     target_poc = ctx.list_pocs[lx][ref_idx]
+    target_lt = bool(ctx.list_lt[lx][ref_idx])
 
     def candidate_from(positions, allow_scaled):
         # pass 1: same reference picture (either list), no scaling
@@ -300,13 +326,16 @@ def derive_amvp(ctx: MotionCtx, x_pb: int, y_pb: int, n_w: int, n_h: int,
                     return m.mv[ly], True
         if not allow_scaled:
             return None, False
-        # pass 2: any reference, scaled
+        # pass 2: any reference of matching lt-ness; scaled only when both
+        # short-term, unscaled when both long-term (spec 8.5.3.2.7)
         for (xn, yn) in positions:
             m = ctx.motion_at(xn, yn)
             if m is None:
                 continue
             for ly in (lx, 1 - lx):
-                if m.uses(ly):
+                if m.uses(ly) and m.lt[ly] == target_lt:
+                    if target_lt:
+                        return m.mv[ly], True
                     tb = ctx.poc - target_poc
                     td = ctx.poc - m.ref_poc[ly]
                     if td == 0:

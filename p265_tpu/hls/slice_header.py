@@ -102,7 +102,9 @@ class SliceHeader:
     st_rps_sps_flag: bool = True
     st_rps_idx: int = 0
     st_rps_explicit: ShortTermRPS | None = None
-    # long-term (unsupported in writer, parsed minimally)
+    # long-term refs (slice-signaled): list of dicts
+    # {poc_lsb, used, msb_present, msb_cycle(accumulated)}
+    lt_entries: list = field(default_factory=list)
     num_long_term_pics: int = 0
     temporal_mvp_enabled: bool = False
     sao_luma: bool = True
@@ -178,7 +180,19 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS) -> None
                 if len(sps.st_rps) > 1:
                     w.u(h.st_rps_idx, max(1, math.ceil(math.log2(len(sps.st_rps)))))
             if sps.long_term_ref_pics_present:
-                raise NotImplementedError("long-term refs not in writer yet")
+                # slice-signaled entries only (num_long_term_sps == 0)
+                if sps.num_long_term_ref_pics > 0:
+                    w.ue(0)  # num_long_term_sps
+                w.ue(len(h.lt_entries))
+                prev_cycle = 0
+                for i, e in enumerate(h.lt_entries):
+                    w.u(e["poc_lsb"], sps.log2_max_poc_lsb)
+                    w.u(int(e["used"]), 1)
+                    w.u(int(e["msb_present"]), 1)
+                    if e["msb_present"]:
+                        delta = e["msb_cycle"] - (prev_cycle if i else 0)
+                        w.ue(delta)
+                        prev_cycle = e["msb_cycle"]
             if sps.temporal_mvp_enabled:
                 w.u(int(h.temporal_mvp_enabled), 1)
         if sps.sao_enabled:
@@ -282,7 +296,22 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps_map: dict[int, SPS],
             elif len(sps.st_rps) > 1:
                 h.st_rps_idx = r.u(max(1, math.ceil(math.log2(len(sps.st_rps)))))
             if sps.long_term_ref_pics_present:
-                raise NotImplementedError("long-term refs not supported yet")
+                num_lt_sps = 0
+                if sps.num_long_term_ref_pics > 0:
+                    num_lt_sps = r.ue()
+                assert num_lt_sps == 0, "SPS-signaled LT sets not supported"
+                n_lt = r.ue()
+                prev_cycle = 0
+                for i in range(n_lt):
+                    e = {"poc_lsb": r.u(sps.log2_max_poc_lsb),
+                         "used": bool(r.u(1)), "msb_present": False,
+                         "msb_cycle": 0}
+                    e["msb_present"] = bool(r.u(1))
+                    if e["msb_present"]:
+                        cyc = r.ue() + (prev_cycle if i else 0)
+                        e["msb_cycle"] = cyc
+                        prev_cycle = cyc
+                    h.lt_entries.append(e)
             if sps.temporal_mvp_enabled:
                 h.temporal_mvp_enabled = bool(r.u(1))
         else:
@@ -296,7 +325,8 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps_map: dict[int, SPS],
                    else (sps.st_rps[h.st_rps_idx] if sps.st_rps else None))
         if rps_cur is not None:
             h.num_pic_total_curr = (sum(rps_cur.used_s0)
-                                    + sum(rps_cur.used_s1))
+                                    + sum(rps_cur.used_s1)
+                                    + sum(1 for e in h.lt_entries if e["used"]))
         h.num_ref_idx_l0_active = pps.num_ref_idx_l0_default
         h.num_ref_idx_l1_active = pps.num_ref_idx_l1_default
         if h.slice_type in (SLICE_P, SLICE_B):

@@ -82,11 +82,13 @@ class PipelinedTpuDecoder(TpuDecoder):
         if mctx is not None:
             pic.col_mv = mctx.mv[::4, ::4].copy()
             pic.col_ref_poc = mctx.ref_poc[::4, ::4].copy()
+            pic.col_is_long_term = mctx.lt[::4, ::4].copy()
         else:
             h16 = (sps.pic_height + 15) >> 4
             w16 = (sps.pic_width + 15) >> 4
             pic.col_mv = np.zeros((h16, w16, 2, 2), np.int32)
             pic.col_ref_poc = np.full((h16, w16, 2), NO_REF, np.int32)
+            pic.col_is_long_term = np.zeros((h16, w16, 2), bool)
         refs = {p.poc: p for p in self.dpb.pics if p.is_reference}
         self.stats["frames"] += 1
         self.stats["slice_bytes"] += pic_st["bytes"]

@@ -109,6 +109,7 @@ class _RefPic:
     planes: list            # post-filter
     col_mv: np.ndarray
     col_ref_poc: np.ndarray
+    col_lt: np.ndarray = None
 
 
 class Encoder:
@@ -124,7 +125,8 @@ class Encoder:
                      used_pocs: list[int] | None = None,
                      keep_pocs: list[int] | None = None,
                      n_ref: tuple[int, int] = (1, 1), num_slices: int = 1,
-                     dependent_slices: bool = False):
+                     dependent_slices: bool = False,
+                     lt_pocs: list[int] | None = None):
         """Encode one frame -> (nal_bytes, plan, prefilter_recon, filtered).
 
         used_pocs: reference POCs for this picture; keep_pocs: POCs that must
@@ -134,10 +136,12 @@ class Encoder:
         sps, pps = self.sps, self.pps
         used_pocs = used_pocs or []
         keep_pocs = keep_pocs or []
+        lt_pocs = lt_pocs or []          # long-term refs, appended after ST
         before = sorted((p for p in used_pocs if p < poc), reverse=True)
         after = sorted(p for p in used_pocs if p > poc)
-        tmp0 = before + after
-        tmp1 = after + before
+        tmp0 = before + after + lt_pocs
+        tmp1 = after + before + lt_pocs
+        lt_set = set(lt_pocs)
         n0 = min(n_ref[0], len(tmp0)) or (1 if tmp0 else 0)
         l0_pocs = [tmp0[i % len(tmp0)] for i in range(n0)] if tmp0 else []
         l1_pocs = []
@@ -173,6 +177,8 @@ class Encoder:
         sh.tc_offset_div2 = pps.tc_offset_div2
         sh.num_ref_idx_l0_active = max(1, len(l0_pocs))
         sh.num_ref_idx_l1_active = max(1, len(l1_pocs))
+        self.l0_lt = [p in lt_set for p in l0_pocs]
+        self.l1_lt = [p in lt_set for p in l1_pocs]
         self.weights = None
         if ((pps.weighted_pred and slice_type == SLICE_P)
                 or (pps.weighted_bipred and slice_type == SLICE_B)):
@@ -200,7 +206,18 @@ class Encoder:
                 used_s1=[int(p in used_pocs) for p in sorted(pos)])
             sh.st_rps_explicit = rps
             sh.st_rps_sps_flag = False
-            sh.num_pic_total_curr = sum(rps.used_s0) + sum(rps.used_s1)
+            # long-term entries: always msb_present (decoder matches full POC;
+            # the writer's delta accumulation is exercised for >1 entry)
+            max_lsb = sps.max_poc_lsb
+            poc_msb_cur = poc - (poc & (max_lsb - 1))
+            for ref in lt_pocs:
+                lsb = ref & (max_lsb - 1)
+                cycle = (poc_msb_cur + lsb - ref) // max_lsb
+                sh.lt_entries.append({"poc_lsb": lsb, "used": True,
+                                      "msb_present": True,
+                                      "msb_cycle": cycle})
+            sh.num_pic_total_curr = (sum(rps.used_s0) + sum(rps.used_s1)
+                                     + len(lt_pocs))
             sh.ref_pic_list_modification_l0 = mod_l0
 
         plan = FramePlan(sps, pps, sh)
@@ -275,27 +292,32 @@ class Encoder:
         if self.mctx is not None:
             col_mv = self.mctx.mv[::4, ::4].copy()
             col_rp = self.mctx.ref_poc[::4, ::4].copy()
+            col_lt = self.mctx.lt[::4, ::4].copy()
         else:
             h16, w16 = (h + 15) >> 4, (w + 15) >> 4
             col_mv = np.zeros((h16, w16, 2, 2), np.int32)
             col_rp = np.full((h16, w16, 2), NO_REF, np.int32)
-        self.refs.append(_RefPic(poc, filtered, col_mv, col_rp))
+            col_lt = np.zeros((h16, w16, 2), bool)
+        self.refs.append(_RefPic(poc, filtered, col_mv, col_rp, col_lt))
         return nal_bytes, plan, prefilter, filtered
 
     def _make_mctx(self, sh, poc, l0_pocs, l1_pocs):
         if sh.slice_type == SLICE_I:
             return None
         sps = self.sps
-        col_mv = col_rp = None
+        col_mv = col_rp = col_lt = None
         col_poc = None
         if sh.temporal_mvp_enabled:
             col_pocs = l0_pocs if sh.collocated_from_l0 else l1_pocs
             col = self.ref_by_poc[col_pocs[sh.collocated_ref_idx]]
             col_mv, col_rp, col_poc = col.col_mv, col.col_ref_poc, col.poc
+            col_lt = col.col_lt
         h4 = (sps.pic_height + 3) >> 2
         w4 = (sps.pic_width + 3) >> 2
         m = MotionCtx(sps, sh, poc, list(l0_pocs), list(l1_pocs), (h4, w4),
-                      col_mv=col_mv, col_ref_poc=col_rp, col_poc=col_poc)
+                      col_mv=col_mv, col_ref_poc=col_rp, col_poc=col_poc,
+                      l0_lt=list(self.l0_lt), l1_lt=list(self.l1_lt),
+                      col_lt=col_lt)
         m.avail = lambda x, y: (0 <= x < sps.pic_width
                                 and 0 <= y < sps.pic_height
                                 and bool(self.avail[0][y >> 2, x >> 2]))
@@ -328,6 +350,23 @@ class Encoder:
                     nb, _, _, filt = self.encode_frame(
                         f, poc=i, slice_type=SLICE_P, used_pocs=l0,
                         n_ref=(len(l0), 0), num_slices=num_slices)
+                out += nb
+                recons[i] = filt
+        elif structure == "LDP-LT":
+            # low-delay P where every frame also references frame 0 as a
+            # long-term picture: P frames use L0 = [prev(ST), 0(LT)], which
+            # exercises LT marking, mixed ST/LT AMVP (no scaling across
+            # lt-ness), TMVP lt gates and LT ref-list construction
+            for i, f in enumerate(frames):
+                if i == 0:
+                    nb, _, _, filt = self.encode_frame(
+                        f, poc=0, slice_type=SLICE_I, num_slices=num_slices)
+                else:
+                    l0 = [i - 1] if i > 1 else []
+                    nb, _, _, filt = self.encode_frame(
+                        f, poc=i, slice_type=SLICE_P, used_pocs=l0,
+                        lt_pocs=[0], n_ref=(len(l0) + 1, 0),
+                        num_slices=num_slices)
                 out += nb
                 recons[i] = filt
         elif structure == "RA":
