@@ -23,7 +23,7 @@ def main():
     from p265_tpu.golden import recon as grecon
     from p265_tpu.golden.decoder import GoldenDecoder, apply_loop_filters
     from p265_tpu.hls.params import PPS, SPS
-    from p265_tpu.kernels.loopfilter import loop_filters_tpu
+    from p265_tpu.kernels.loopfilter import loop_filters_tpu_frames
     from p265_tpu.pipeline.wavefront import reconstruct_tpu_scan_frames
     from p265_tpu.plan.frame_plan import build_tensor_plan
     from p265_tpu.testgen.encoder import IntraEncoder, make_test_image
@@ -39,9 +39,11 @@ def main():
         golds.append(g)
         tplans.append(build_tensor_plan(g.plan))
 
+    plans = [g.plan for g in golds]
+
     def decode_batch():
         outs = reconstruct_tpu_scan_frames(tplans)
-        return [loop_filters_tpu(g.plan, o) for g, o in zip(golds, outs)]
+        return loop_filters_tpu_frames(plans, outs)
 
     # correctness gate: every frame bit-exact vs golden
     results = decode_batch()

@@ -23,6 +23,52 @@ from p265_tpu.tables import BETA_TABLE, TC_TABLE, chroma_qp_from_luma, clip3
 # ---------------------------------------------------------------------------
 
 
+NO_REF = -(1 << 30)
+
+
+def _bs_vec(plan: FramePlan, y4p, x4p, y4q, x4q):
+    """Vectorized boundary strength (8.7.2.4) over index grids; numerically
+    identical to golden.deblock._bs (the oracle's scalar form: ref-set diff,
+    mv-count diff, then lane-order mv comparison at quarter-pel threshold 4)."""
+    im, cbf = plan.intra_map, plan.cbf_map
+    intra = im[y4p, x4p].astype(bool) | im[y4q, x4q].astype(bool)
+    has_cbf = cbf[y4p, x4p].astype(bool) | cbf[y4q, x4q].astype(bool)
+    mv_ne = np.zeros(np.shape(y4p), bool)
+    if plan.mv_map is not None:
+        mv, rf = plan.mv_map, plan.ref_map
+        rp = rf[y4p, x4p].astype(np.int64)   # [..., 2]
+        rq = rf[y4q, x4q].astype(np.int64)
+        up0, up1 = rp[..., 0] != NO_REF, rp[..., 1] != NO_REF
+        uq0, uq1 = rq[..., 0] != NO_REF, rq[..., 1] != NO_REF
+        cnt_p = up0.astype(np.int32) + up1.astype(np.int32)
+        cnt_q = uq0.astype(np.int32) + uq1.astype(np.int32)
+        big = np.int64(1) << 60
+
+        def ref_set(r, u0, u1):      # set as sorted (lo, hi) with dedupe
+            a = np.where(u0, r[..., 0], big)
+            b = np.where(u1, r[..., 1], big)
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return lo, np.where(lo == hi, big, hi)
+
+        lp, hp = ref_set(rp, up0, up1)
+        lq, hq = ref_set(rq, uq0, uq1)
+        set_ne = (lp != lq) | (hp != hq)
+
+        mvp = mv[y4p, x4p]           # [..., 2, 2]
+        mvq = mv[y4q, x4q]
+        first_p = np.where(up0[..., None], mvp[..., 0, :], mvp[..., 1, :])
+        first_q = np.where(uq0[..., None], mvq[..., 0, :], mvq[..., 1, :])
+
+        def ge4(a, b):
+            return (np.abs(a[..., 0] - b[..., 0]) >= 4)                 | (np.abs(a[..., 1] - b[..., 1]) >= 4)
+
+        both2 = (cnt_p == 2) & (cnt_q == 2)
+        mv_ne = (set_ne | (cnt_p != cnt_q) | ge4(first_p, first_q)
+                 | (both2 & ge4(mvp[..., 1, :], mvq[..., 1, :])))
+    return np.where(intra, 2,
+                    np.where(has_cbf | mv_ne, 1, 0)).astype(np.int32)
+
+
 def luma_edge_params(plan: FramePlan, vertical: bool):
     """-> (bs, beta, tc) int32 arrays [n_seg, n_edges] in the orientation the
     device kernel consumes (transposed layout for horizontal edges)."""
@@ -31,31 +77,29 @@ def luma_edge_params(plan: FramePlan, vertical: bool):
     ef, qp = plan.edge_flags, plan.qp_map
     boff, toff = sh.beta_offset_div2 << 1, sh.tc_offset_div2 << 1
     n_s = h // 4 if vertical else w // 4
-    edges = range(8, w if vertical else h, 8)
+    edges = np.arange(8, w if vertical else h, 8)
     n_e = len(edges)
-    bs = np.zeros((n_s, n_e), np.int32)
-    beta = np.zeros((n_s, n_e), np.int32)
-    tc = np.zeros((n_s, n_e), np.int32)
-    for k, e in enumerate(edges):
-        for s in range(n_s):
-            pos = s * 4
-            if vertical:
-                if not (ef[pos >> 2, e >> 2] & 1):
-                    continue
-                b = _bs(plan, (e - 1) >> 2, pos >> 2, e >> 2, pos >> 2)
-                qpl = (int(qp[pos >> 2, (e - 1) >> 2])
-                       + int(qp[pos >> 2, e >> 2]) + 1) >> 1
-            else:
-                if not (ef[e >> 2, pos >> 2] & 2):
-                    continue
-                b = _bs(plan, pos >> 2, (e - 1) >> 2, pos >> 2, e >> 2)
-                qpl = (int(qp[(e - 1) >> 2, pos >> 2])
-                       + int(qp[e >> 2, pos >> 2]) + 1) >> 1
-            if b == 0:
-                continue
-            bs[s, k] = b
-            beta[s, k] = BETA_TABLE[clip3(0, 51, qpl + boff)]
-            tc[s, k] = TC_TABLE[clip3(0, 53, qpl + 2 * (b - 1) + toff)]
+    if n_e == 0:
+        z = np.zeros((n_s, 0), np.int32)
+        return z, z.copy(), z.copy()
+    s4 = np.arange(n_s)[:, None]            # segment index (4-sample rows)
+    e4 = (edges >> 2)[None, :]
+    if vertical:
+        on = (ef[s4, e4] & 1).astype(bool)
+        bs = _bs_vec(plan, s4, e4 - 1, s4, e4)
+        qpl = (qp[s4, e4 - 1].astype(np.int32)
+               + qp[s4, e4].astype(np.int32) + 1) >> 1
+    else:
+        on = (ef[e4, s4] & 2).astype(bool)
+        bs = _bs_vec(plan, e4 - 1, s4, e4, s4)
+        qpl = (qp[e4 - 1, s4].astype(np.int32)
+               + qp[e4, s4].astype(np.int32) + 1) >> 1
+    bs = np.where(on, bs, 0)
+    beta = np.where(bs > 0,
+                    BETA_TABLE[np.clip(qpl + boff, 0, 51)], 0).astype(np.int32)
+    tc = np.where(bs > 0,
+                  TC_TABLE[np.clip(qpl + 2 * (bs - 1) + toff, 0, 53)],
+                  0).astype(np.int32)
     return bs, beta, tc
 
 
@@ -65,30 +109,31 @@ def chroma_edge_params(plan: FramePlan, vertical: bool):
     w, h = sps.pic_width, sps.pic_height
     ef, qp = plan.edge_flags, plan.qp_map
     toff = sh.tc_offset_div2 << 1
-    edges = list(range(16, w if vertical else h, 16))
+    edges = np.arange(16, w if vertical else h, 16)
     n_s = (h if vertical else w) // 8
-    tcs = [np.zeros((n_s, len(edges)), np.int32) for _ in range(2)]
-    for k, e in enumerate(edges):
-        for s in range(n_s):
-            pos = s * 8
-            if vertical:
-                if not (ef[pos >> 2, e >> 2] & 1):
-                    continue
-                b = _bs(plan, (e - 1) >> 2, pos >> 2, e >> 2, pos >> 2)
-                qpl = (int(qp[pos >> 2, (e - 1) >> 2])
-                       + int(qp[pos >> 2, e >> 2]) + 1) >> 1
-            else:
-                if not (ef[e >> 2, pos >> 2] & 2):
-                    continue
-                b = _bs(plan, pos >> 2, (e - 1) >> 2, pos >> 2, e >> 2)
-                qpl = (int(qp[(e - 1) >> 2, pos >> 2])
-                       + int(qp[e >> 2, pos >> 2]) + 1) >> 1
-            if b < 2:
-                continue
-            for ci, c_off in enumerate((plan.pps.cb_qp_offset,
-                                        plan.pps.cr_qp_offset)):
-                qpc = chroma_qp_from_luma(clip3(0, 57, qpl + c_off))
-                tcs[ci][s, k] = TC_TABLE[clip3(0, 53, qpc + 2 + toff)]
+    if len(edges) == 0:
+        z = np.zeros((n_s, 0), np.int32)
+        return [z, z.copy()]
+    s4 = (np.arange(n_s) * 2)[:, None]      # 8-sample rows in 4x4 units
+    e4 = (edges >> 2)[None, :]
+    if vertical:
+        on = (ef[s4, e4] & 1).astype(bool)
+        bs = _bs_vec(plan, s4, e4 - 1, s4, e4)
+        qpl = (qp[s4, e4 - 1].astype(np.int32)
+               + qp[s4, e4].astype(np.int32) + 1) >> 1
+    else:
+        on = (ef[e4, s4] & 2).astype(bool)
+        bs = _bs_vec(plan, e4 - 1, s4, e4, s4)
+        qpl = (qp[e4 - 1, s4].astype(np.int32)
+               + qp[e4, s4].astype(np.int32) + 1) >> 1
+    strong = on & (bs >= 2)
+    qpc_lut = np.array([chroma_qp_from_luma(q) for q in range(58)], np.int32)
+    tcs = []
+    for c_off in (plan.pps.cb_qp_offset, plan.pps.cr_qp_offset):
+        qpc = qpc_lut[np.clip(qpl + c_off, 0, 57)]
+        tcs.append(np.where(strong,
+                            TC_TABLE[np.clip(qpc + 2 + toff, 0, 53)],
+                            0).astype(np.int32))
     return tcs
 
 
@@ -298,6 +343,73 @@ def sao_tpu(plan: FramePlan, planes: list) -> list:
         ctb = plan.sps.ctb_size if c == 0 else plan.sps.ctb_size >> 1
         outs.append(_sao_apply(jnp.asarray(planes[c]), jnp.asarray(ty),
                                jnp.asarray(cls), jnp.asarray(offs), ctb))
+    return outs
+
+
+# batched variants: one dispatch filters F same-shape frames (leading axis)
+_deblock_luma_v_b = jax.jit(jax.vmap(_deblock_luma_vertical.__wrapped__))
+_deblock_chroma_v_b = jax.jit(jax.vmap(_deblock_chroma_vertical.__wrapped__))
+
+
+@functools.partial(jax.jit, static_argnames=("ctb",))
+def _sao_apply_b(src, ty_g, cls_g, offs_g, ctb: int):
+    return jax.vmap(_sao_apply.__wrapped__,
+                    in_axes=(0, 0, 0, 0, None))(src, ty_g, cls_g, offs_g, ctb)
+
+
+def loop_filters_tpu_frames(plans: list, planes_list: list) -> list:
+    """Loop filters for F same-resolution frames in batched dispatches:
+    per-pass vmapped kernels instead of per-frame call chains (the host
+    edge-parameter grids are built per frame, vectorized numpy)."""
+    from p265_tpu.golden.decoder import bypass_pixel_masks
+    F = len(plans)
+    if F == 1:
+        return [loop_filters_tpu(plans[0], planes_list[0])]
+    comp = [jnp.stack([jnp.asarray(pl[c]) for pl in planes_list])
+            for c in range(3)]
+    sh0 = plans[0].sh
+    if any(p.sh.deblocking_filter_disabled != sh0.deblocking_filter_disabled
+           or p.sh.sao_luma != sh0.sao_luma
+           or p.sh.sao_chroma != sh0.sao_chroma for p in plans):
+        # heterogeneous filter flags: per-frame path
+        return [loop_filters_tpu(p, pl) for p, pl in zip(plans, planes_list)]
+    if not sh0.deblocking_filter_disabled:
+        for vertical in (True, False):
+            lp = [luma_edge_params(p, vertical) for p in plans]
+            bs = jnp.asarray(np.stack([x[0] for x in lp]))
+            beta = jnp.asarray(np.stack([x[1] for x in lp]))
+            tc = jnp.asarray(np.stack([x[2] for x in lp]))
+            cp = [chroma_edge_params(p, vertical) for p in plans]
+            tcb = jnp.asarray(np.stack([x[0] for x in cp]))
+            tcr = jnp.asarray(np.stack([x[1] for x in cp]))
+            if not vertical:
+                comp = [c.transpose(0, 2, 1) for c in comp]
+            if bs.shape[2]:
+                comp[0] = _deblock_luma_v_b(comp[0], bs, beta, tc)
+            if tcb.shape[2]:
+                comp[1] = _deblock_chroma_v_b(comp[1], tcb)
+                comp[2] = _deblock_chroma_v_b(comp[2], tcr)
+            if not vertical:
+                comp = [c.transpose(0, 2, 1) for c in comp]
+    for c in range(3):
+        enabled = sh0.sao_luma if c == 0 else sh0.sao_chroma
+        if not (plans[0].sps.sao_enabled and enabled):
+            continue
+        maps = [_sao_maps(p, c) for p in plans]
+        ty = jnp.asarray(np.stack([m[0] for m in maps]))
+        cls = jnp.asarray(np.stack([m[1] for m in maps]))
+        offs = jnp.asarray(np.stack([m[2] for m in maps]))
+        ctb = plans[0].sps.ctb_size if c == 0 else plans[0].sps.ctb_size >> 1
+        comp[c] = _sao_apply_b(comp[c], ty, cls, offs, ctb)
+    host = [np.asarray(c) for c in comp]
+    outs = []
+    for f, plan in enumerate(plans):
+        res = [host[c][f] for c in range(3)]
+        masks = bypass_pixel_masks(plan)
+        if masks:
+            res = [np.where(m, np.asarray(planes_list[f][c]), r)
+                   for c, (m, r) in enumerate(zip(masks, res))]
+        outs.append(res)
     return outs
 
 

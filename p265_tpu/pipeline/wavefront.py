@@ -159,9 +159,14 @@ def reconstruct_tpu_scan(tplan: TensorPlan, use_mxu: bool = True):
 
 def _merge_tensor_plans(tplans: list, p_idx: int):
     """Merge one plane across F frames into a combined PlanePlan-like view."""
+    return _merge_plane_plans([tp.planes[p_idx] for tp in tplans], p_idx)
+
+
+def _merge_plane_plans(pps_: list, p_idx: int):
+    """Fold same-shaped PlanePlans into one tall plane (stride ph+GUARD).
+    Used for frame batching and for running cb+cr as a single scan."""
     from p265_tpu.plan.frame_plan import PlanePlan, TuBatch
 
-    pps_ = [tp.planes[p_idx] for tp in tplans]
     ph, pw = pps_[0].shape
     stride = ph + GUARD
     F = len(pps_)
@@ -228,18 +233,24 @@ def reconstruct_tpu_scan_frames(tplans: list, use_mxu: bool = True):
     if F == 1:
         return [reconstruct_tpu_scan(tplans[0], use_mxu)]
     outs_per_frame = [[None] * 3 for _ in range(F)]
-    for p_idx in range(3):
-        merged, stride, ph = _merge_tensor_plans(tplans, p_idx)
+    # luma scan over F frames; cb+cr fold into ONE scan over 2F segments
+    # (identical quadtree geometry, same c_idx=1 kernel) -- one fewer
+    # sequential scan per batch
+    groups = [[tp.planes[0] for tp in tplans],
+              [tp.planes[1] for tp in tplans] + [tp.planes[2] for tp in tplans]]
+    for gi, pps_ in enumerate(groups):
+        merged, stride, ph = _merge_plane_plans(pps_, gi)
+        segs = [(f % F, 1 + f // F if gi else 0) for f in range(len(pps_))]
         if not merged.batches:
-            for f in range(F):
+            for f, p_idx in segs:
                 outs_per_frame[f][p_idx] = np.zeros((ph, merged.shape[1]),
                                                     np.int32)
             continue
         # the merged "plane" already contains per-frame guard segments; the
         # plain scan adds one more guard at the very bottom (harmless)
         plane = reconstruct_tpu_scan_plane(merged, use_mxu)
-        for f in range(F):
-            outs_per_frame[f][p_idx] = plane[f * stride:f * stride + ph]
+        for i, (f, p_idx) in enumerate(segs):
+            outs_per_frame[f][p_idx] = plane[i * stride:i * stride + ph]
     return outs_per_frame
 
 
