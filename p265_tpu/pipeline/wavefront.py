@@ -15,7 +15,10 @@ import jax
 import jax.numpy as jnp
 
 from p265_tpu.kernels.intra import predict_batch
+from p265_tpu.kernels.intra_mxu import predict_batch_mxu
 from p265_tpu.kernels.itransform import batch_residual
+
+USE_MXU_INTRA = True  # matmul-formulated intra predictor (kernels/intra_mxu)
 from p265_tpu.plan.frame_plan import PlanePlan, TensorPlan
 
 GUARD = 32
@@ -108,9 +111,10 @@ def _run_plane(stacked, residuals, sizes: tuple, c_idx: int, shape: tuple,
         pred_plane[:ph, :pw])
 
     def body(plane, step_data):
+        pred_fn = (predict_batch_mxu if USE_MXU_INTRA else predict_batch)
         for log2 in sizes:
             d = step_data[log2]
-            plane = predict_batch.__wrapped__(
+            plane = pred_fn.__wrapped__(
                 plane, d["pos"], d["ref_ys"], d["ref_xs"], d["ref_ok"],
                 d["mode"], d["filter_flag"], d["strong_allowed"],
                 d["residual"], 1 << log2, c_idx,
