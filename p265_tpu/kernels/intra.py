@@ -83,7 +83,7 @@ def _angular(main, side, angle, inv, size):
 @functools.partial(jax.jit, static_argnames=("size", "c_idx"))
 def predict_batch(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
                   strong_allowed, residual, size: int, c_idx: int,
-                  inter=None, pred_plane=None):
+                  inter=None, pred_plane=None, dc_edge=None):
     """One wavefront step for one size bucket.
 
     plane: [Hpad, W] int32 current recon (device)
@@ -124,17 +124,22 @@ def predict_batch(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
           + s) >> (log2s + 1)
     pred_dc = jnp.broadcast_to(dc[:, None, None], (mode.shape[0], s, s))
     if c_idx == 0 and s < 32:
+        e = (jnp.ones_like(mode, bool) if dc_edge is None else dc_edge)[:, None]
         row0 = (top[:, 2:s + 1] + 3 * dc[:, None] + 2) >> 2
         col0 = (left[:, 2:s + 1] + 3 * dc[:, None] + 2) >> 2
         corner = (left[:, 1] + 2 * dc + top[:, 1] + 2) >> 2
-        pred_dc = pred_dc.at[:, 0, 1:].set(row0)
-        pred_dc = pred_dc.at[:, 1:, 0].set(col0)
-        pred_dc = pred_dc.at[:, 0, 0].set(corner)
+        pred_dc = pred_dc.at[:, 0, 1:].set(jnp.where(e, row0,
+                                                     pred_dc[:, 0, 1:]))
+        pred_dc = pred_dc.at[:, 1:, 0].set(jnp.where(e, col0,
+                                                     pred_dc[:, 1:, 0]))
+        pred_dc = pred_dc.at[:, 0, 0].set(jnp.where(e[:, 0], corner,
+                                                    pred_dc[:, 0, 0]))
 
     pred = jnp.where((mode == 0)[:, None, None], planar,
                      jnp.where((mode == 1)[:, None, None], pred_dc, pred_ang))
 
     if c_idx == 0 and s < 32:
+        edge = (jnp.ones_like(mode, bool) if dc_edge is None else dc_edge)
         # vertical (26) / horizontal (10) edge filters on unfiltered refs
         v_col = jnp.clip(top[:, 1][:, None]
                          + ((left[:, 1:s + 1] - left[:, 0][:, None]) >> 1),
@@ -142,9 +147,9 @@ def predict_batch(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
         h_row = jnp.clip(left[:, 1][:, None]
                          + ((top[:, 1:s + 1] - top[:, 0][:, None]) >> 1),
                          0, 255)
-        pred = jnp.where((mode == 26)[:, None, None],
+        pred = jnp.where(((mode == 26) & edge)[:, None, None],
                          pred.at[:, :, 0].set(v_col), pred)
-        pred = jnp.where((mode == 10)[:, None, None],
+        pred = jnp.where(((mode == 10) & edge)[:, None, None],
                          pred.at[:, 0, :].set(h_row), pred)
 
     rows = pos[:, 0][:, None, None] + jnp.arange(s)[None, :, None]

@@ -137,8 +137,13 @@ def _a_bf16(size: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("size", "c_idx"))
 def predict_batch_mxu(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
                       strong_allowed, residual, size: int, c_idx: int,
-                      inter=None, pred_plane=None):
-    """Drop-in replacement for kernels/intra.predict_batch (same contract)."""
+                      inter=None, pred_plane=None, dc_edge=None):
+    """Drop-in replacement for kernels/intra.predict_batch (same contract).
+
+    dc_edge: optional [n] bool -- per-TU gate for the luma DC/10/26 edge
+    filters, enabling mixed luma+chroma batches (c_idx=0 with per-TU flags).
+    Defaults to the static c_idx/size gate of the original kernel.
+    """
     s = size
     nref = 2 * s + 1
     shift = 6 if s == 32 else 5
@@ -159,12 +164,13 @@ def predict_batch_mxu(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
     pred = (acc.astype(jnp.int32) >> shift).reshape(n, s, s)
 
     if c_idx == 0 and s < 32:
+        edge = (jnp.ones_like(mode, bool) if dc_edge is None else dc_edge)
         # DC edge filters: dc == any interior prediction sample (A row)
         dc = pred[:, 1, 1]
         row0 = (top[:, 2:s + 1] + 3 * dc[:, None] + 2) >> 2
         col0 = (left[:, 2:s + 1] + 3 * dc[:, None] + 2) >> 2
         corner = (left[:, 1] + 2 * dc + top[:, 1] + 2) >> 2
-        is_dc = (mode == 1)[:, None]
+        is_dc = ((mode == 1) & edge)[:, None]
         pred = pred.at[:, 0, 1:].set(jnp.where(is_dc, row0, pred[:, 0, 1:]))
         pred = pred.at[:, 1:, 0].set(jnp.where(is_dc, col0, pred[:, 1:, 0]))
         pred = pred.at[:, 0, 0].set(jnp.where(is_dc[:, 0], corner,
@@ -177,10 +183,10 @@ def predict_batch_mxu(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
         h_row = jnp.clip(left[:, 1][:, None]
                          + ((top[:, 1:s + 1] - top[:, 0][:, None]) >> 1),
                          0, 255)
-        pred = pred.at[:, :, 0].set(jnp.where((mode == 26)[:, None], v_col,
-                                              pred[:, :, 0]))
-        pred = pred.at[:, 0, :].set(jnp.where((mode == 10)[:, None], h_row,
-                                              pred[:, 0, :]))
+        pred = pred.at[:, :, 0].set(jnp.where(((mode == 26) & edge)[:, None],
+                                              v_col, pred[:, :, 0]))
+        pred = pred.at[:, 0, :].set(jnp.where(((mode == 10) & edge)[:, None],
+                                              h_row, pred[:, 0, :]))
 
     rows = pos[:, 0][:, None, None] + jnp.arange(s)[None, :, None]
     cols = pos[:, 1][:, None, None] + jnp.arange(s)[None, None, :]

@@ -360,7 +360,8 @@ def _sao_apply_b(src, ty_g, cls_g, offs_g, ctb: int):
 def loop_filters_tpu_frames(plans: list, planes_list: list) -> list:
     """Loop filters for F same-resolution frames in batched dispatches:
     per-pass vmapped kernels instead of per-frame call chains (the host
-    edge-parameter grids are built per frame, vectorized numpy)."""
+    edge-parameter grids are built per frame, vectorized numpy).  Accepts
+    and returns DEVICE arrays; no host round trips inside."""
     from p265_tpu.golden.decoder import bypass_pixel_masks
     F = len(plans)
     if F == 1:
@@ -401,13 +402,13 @@ def loop_filters_tpu_frames(plans: list, planes_list: list) -> list:
         offs = jnp.asarray(np.stack([m[2] for m in maps]))
         ctb = plans[0].sps.ctb_size if c == 0 else plans[0].sps.ctb_size >> 1
         comp[c] = _sao_apply_b(comp[c], ty, cls, offs, ctb)
-    host = [np.asarray(c) for c in comp]
     outs = []
     for f, plan in enumerate(plans):
-        res = [host[c][f] for c in range(3)]
+        res = [comp[c][f] for c in range(3)]
         masks = bypass_pixel_masks(plan)
         if masks:
-            res = [np.where(m, np.asarray(planes_list[f][c]), r)
+            res = [jnp.where(jnp.asarray(m), jnp.asarray(planes_list[f][c]),
+                             r)
                    for c, (m, r) in enumerate(zip(masks, res))]
         outs.append(res)
     return outs

@@ -1,0 +1,295 @@
+"""Single-dispatch Stage-B: ONE upload, ONE jit call, ONE fetch per batch.
+
+Motivation (measured on the axon-PJRT tunnel): after the first device->host
+transfer in a process, EVERY dispatch/transfer costs ~1 ms (vs ~36 us clean)
+-- a plugin pathology, but the mitigation is sound TPU production practice
+anyway: per decoded batch we do exactly
+  1. one h2d upload of a packed byte blob (all compact TU arrays, gather
+     maps, filter parameter grids),
+  2. one jitted program: unpack -> residuals -> merged wavefront scan ->
+     deblock (V+H) -> SAO -> bypass-pixel restore,
+  3. one (optional, caller-side) d2h fetch of the stacked output planes.
+
+Plane layout: all F luma segments first, then 2F chroma segments (cb then
+cr), each of height h + GUARD inside one tall plane, so the filter stage can
+reshape the scan output into [F, H, W] / [2F, Hc, Wc] batches with static
+slicing only.
+
+Compilation stability: per-TU array lengths are padded to powers of two and
+step counts to multiples of 32, so the jit cache hits across frames/batches
+of the same stream geometry.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from p265_tpu.kernels.loopfilter import (
+    _deblock_chroma_vertical, _deblock_luma_vertical, _sao_apply,
+    _sao_maps, chroma_edge_params, luma_edge_params)
+from p265_tpu.pipeline.wavefront import (
+    GUARD, _expand, _merge_segments, _pow2, _round_up, _scan_plane,
+    _stack_plane)
+
+# ---------------------------------------------------------------------------
+# packing: list of numpy arrays -> one uint8 blob + static unpack specs
+# ---------------------------------------------------------------------------
+
+
+def _pack(arrays: list[np.ndarray]):
+    """-> (blob uint8 [N], specs).  Each array padded to 4-byte alignment."""
+    parts = []
+    specs = []
+    off = 0
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        raw = a.view(np.uint8).reshape(-1)
+        pad = (-raw.size) % 4
+        if pad:
+            raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
+        specs.append((off, a.dtype.str, a.shape))
+        parts.append(raw)
+        off += raw.size
+    blob = (np.concatenate(parts) if parts
+            else np.zeros(4, np.uint8))
+    return blob, tuple(specs)
+
+
+def _unpack(blob, specs):
+    """Device: blob uint8 -> list of arrays per specs (static slicing)."""
+    out = []
+    for off, dtype_str, shape in specs:
+        dt = np.dtype(dtype_str)
+        n = int(np.prod(shape, dtype=np.int64))
+        nbytes = n * dt.itemsize
+        raw = blob[off:off + nbytes]
+        if dt == np.bool_:
+            a = raw.astype(jnp.bool_)
+        elif dt.itemsize == 1:
+            a = jax.lax.bitcast_convert_type(raw, dt.name)
+        else:
+            a = jax.lax.bitcast_convert_type(raw.reshape(n, dt.itemsize),
+                                             dt.name)
+        out.append(a.reshape(shape))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host: build the per-batch blob
+# ---------------------------------------------------------------------------
+
+_TU_FIELDS = ("pos", "ref_ys", "ref_xs", "ref_ok", "mode", "filter_flag",
+              "strong_allowed", "inter", "dc_edge", "coeffs", "qp", "is_dst",
+              "tskip", "bypass", "scale_m", "idx_map")
+
+
+def _pad_pow2_rows(a: np.ndarray) -> np.ndarray:
+    """Pad axis 0 (n+1 rows, pad row last) to a power of two by repeating
+    the pad row -- keeps jit shapes stable across frames."""
+    n1 = a.shape[0]
+    tgt = _pow2(n1, lo=8)
+    if tgt == n1:
+        return a
+    rep = np.repeat(a[-1:], tgt - n1, axis=0)
+    return np.concatenate([a, rep])
+
+
+def _build_batch(tplans: list, plans: list):
+    """-> (blob, static_meta) for one batch of F same-resolution frames."""
+    F = len(tplans)
+    sps = plans[0].sps
+    H, W = sps.pic_height, sps.pic_width
+    Hc, Wc = H >> 1, W >> 1
+    # plane order: lumas, then cb's, then cr's
+    pps_ = ([tp.planes[0] for tp in tplans] + [tp.planes[1] for tp in tplans]
+            + [tp.planes[2] for tp in tplans])
+    merged, offs = _merge_segments(pps_)
+    n_steps, stacked = _stack_plane(merged)
+    n_steps = _round_up(n_steps, 32)
+
+    arrays = []
+    tu_specs = {}
+    for log2 in sorted(stacked):
+        d = stacked[log2]
+        im = d["idx_map"]
+        if im.shape[0] < n_steps:  # re-pad idx_map rows to the rounded count
+            n = d["pos"].shape[0] - 1
+            extra = np.full((n_steps - im.shape[0], im.shape[1]), n, np.int32)
+            im = np.concatenate([im, extra])
+        fields = {}
+        for f in _TU_FIELDS:
+            if f == "idx_map":
+                a = im
+            elif f == "scale_m":
+                if "scale_m" not in d:
+                    continue
+                a = _pad_pow2_rows(d[f])
+            else:
+                a = _pad_pow2_rows(d[f])
+            fields[f] = len(arrays)
+            arrays.append(a)
+        tu_specs[log2] = fields
+
+    # filter parameter grids
+    fp = {}
+    deblock_on = not plans[0].sh.deblocking_filter_disabled
+    if deblock_on:
+        for vertical in (True, False):
+            lp = [luma_edge_params(p, vertical) for p in plans]
+            cp = [chroma_edge_params(p, vertical) for p in plans]
+            key = "v" if vertical else "h"
+            fp[f"bs_{key}"] = len(arrays)
+            arrays.append(np.stack([x[0] for x in lp]).astype(np.int16))
+            fp[f"beta_{key}"] = len(arrays)
+            arrays.append(np.stack([x[1] for x in lp]).astype(np.int16))
+            fp[f"tc_{key}"] = len(arrays)
+            arrays.append(np.stack([x[2] for x in lp]).astype(np.int16))
+            fp[f"tcc_{key}"] = len(arrays)
+            arrays.append(np.stack([x[0] for x in cp]
+                                   + [x[1] for x in cp]).astype(np.int16))
+    sao_luma = plans[0].sps.sao_enabled and plans[0].sh.sao_luma
+    sao_chroma = plans[0].sps.sao_enabled and plans[0].sh.sao_chroma
+    for c, on in ((0, sao_luma), (1, sao_chroma)):
+        if not on:
+            continue
+        # order must match the plane layout: lumas / all-cb then all-cr
+        maps = [_sao_maps(p, cc) for cc in ((0,) if c == 0 else (1, 2))
+                for p in plans]
+        fp[f"sao_ty_{c}"] = len(arrays)
+        arrays.append(np.stack([m[0] for m in maps]).astype(np.int8))
+        fp[f"sao_cls_{c}"] = len(arrays)
+        arrays.append(np.stack([m[1] for m in maps]).astype(np.int8))
+        fp[f"sao_off_{c}"] = len(arrays)
+        arrays.append(np.stack([m[2] for m in maps]).astype(np.int8))
+
+    # bypass pixel masks (cu_transquant_bypass / PCM): rare; packed only when
+    # present anywhere in the batch
+    from p265_tpu.golden.decoder import bypass_pixel_masks
+    masks = [bypass_pixel_masks(p) for p in plans]
+    has_masks = any(m is not None for m in masks)
+    if has_masks:
+        my = np.stack([(m[0] if m is not None else np.zeros((H, W), bool))
+                       for m in masks])
+        # chroma mask order must match chroma plane order (cb's then cr's)
+        mc = np.stack([(m[c] if m is not None else np.zeros((Hc, Wc), bool))
+                       for c in (1, 2) for m in masks])
+        fp["mask_y"] = len(arrays)
+        arrays.append(my)
+        fp["mask_c"] = len(arrays)
+        arrays.append(mc)
+
+    pred = None
+    if merged.inter_pred is not None:
+        fp["pred"] = len(arrays)
+        arrays.append(np.clip(merged.inter_pred, 0, 255).astype(np.uint8))
+
+    blob, specs = _pack(arrays)
+    sizes = tuple(sorted(merged.batches.keys()))
+    tu_field_specs = tuple(sorted(
+        (log2, tuple(sorted(fields.items()))) for log2, fields in
+        tu_specs.items()))
+    meta = dict(
+        F=F, shape=merged.shape, seg_h=H + GUARD, seg_hc=Hc + GUARD,
+        H=H, W=W, Hc=Hc, Wc=Wc, sizes=sizes,
+        tu=tu_field_specs, fp=tuple(sorted(fp.items())),
+        specs=specs, deblock=deblock_on, sao_luma=sao_luma,
+        sao_chroma=sao_chroma, ctb=sps.ctb_size, has_masks=has_masks,
+    )
+    return blob, _freeze(meta)
+
+
+def _freeze(d):
+    return tuple(sorted(d.items()))
+
+
+def _thaw(t):
+    return dict(t)
+
+
+# ---------------------------------------------------------------------------
+# device: the single program
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "use_mxu"))
+def _decode_batch_jit(blob, meta, use_mxu: bool = True):
+    m = _thaw(meta)
+    arrays = _unpack(blob, m["specs"])
+    tu = {}
+    idx_maps = {}
+    for log2, fields in m["tu"]:
+        d = {f: arrays[i] for f, i in fields}
+        idx_maps[log2] = d.pop("idx_map")
+        tu[log2] = d
+    fp = {k: arrays[i] for k, i in m["fp"]}
+
+    pred = None
+    if "pred" in fp:
+        pred = fp["pred"].astype(jnp.int32)
+    stacked = _expand(tu, idx_maps, m["sizes"], use_mxu)
+    plane = _scan_plane(stacked, m["sizes"], 0, m["shape"], pred)
+
+    F, H, W, Hc, Wc = m["F"], m["H"], m["W"], m["Hc"], m["Wc"]
+    seg_h, seg_hc = m["seg_h"], m["seg_hc"]
+    total_h, pw = m["shape"]
+    # append the missing trailing guard so both regions reshape cleanly
+    need = F * seg_h + 2 * F * seg_hc
+    plane = jnp.concatenate(
+        [plane, jnp.zeros((need - total_h, pw), jnp.int32)])
+    luma = plane[:F * seg_h].reshape(F, seg_h, pw)[:, :H, :W]
+    ch = plane[F * seg_h:F * seg_h + 2 * F * seg_hc]
+    chroma = ch.reshape(2 * F, seg_hc, pw)[:, :Hc, :Wc]
+    pre_luma, pre_chroma = luma, chroma
+
+    if m["deblock"]:
+        for key in ("v", "h"):
+            if key == "h":
+                luma = jnp.swapaxes(luma, 1, 2)
+                chroma = jnp.swapaxes(chroma, 1, 2)
+            bs = fp[f"bs_{key}"].astype(jnp.int32)
+            if bs.shape[2]:
+                luma = jax.vmap(_deblock_luma_vertical.__wrapped__)(
+                    luma, bs, fp[f"beta_{key}"].astype(jnp.int32),
+                    fp[f"tc_{key}"].astype(jnp.int32))
+            tcc = fp[f"tcc_{key}"].astype(jnp.int32)
+            if tcc.shape[2]:
+                chroma = jax.vmap(_deblock_chroma_vertical.__wrapped__)(
+                    chroma, tcc)
+            if key == "h":
+                luma = jnp.swapaxes(luma, 1, 2)
+                chroma = jnp.swapaxes(chroma, 1, 2)
+    if m["sao_luma"]:
+        luma = jax.vmap(_sao_apply.__wrapped__, in_axes=(0, 0, 0, 0, None))(
+            luma, fp["sao_ty_0"].astype(jnp.int32),
+            fp["sao_cls_0"].astype(jnp.int32),
+            fp["sao_off_0"].astype(jnp.int32), m["ctb"])
+    if m["sao_chroma"]:
+        chroma = jax.vmap(_sao_apply.__wrapped__, in_axes=(0, 0, 0, 0, None))(
+            chroma, fp["sao_ty_1"].astype(jnp.int32),
+            fp["sao_cls_1"].astype(jnp.int32),
+            fp["sao_off_1"].astype(jnp.int32), m["ctb"] >> 1)
+    if m["has_masks"]:
+        luma = jnp.where(fp["mask_y"], pre_luma, luma)
+        chroma = jnp.where(fp["mask_c"], pre_chroma, chroma)
+    return (pre_luma.astype(jnp.uint8), pre_chroma.astype(jnp.uint8),
+            luma.astype(jnp.uint8), chroma.astype(jnp.uint8))
+
+
+def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True):
+    """F frame plans -> (pre_luma [F,H,W]u8, pre_chroma [2F]..., luma, chroma)
+    device arrays via one upload + one dispatch."""
+    blob, meta = _build_batch(tplans, plans)
+    return _decode_batch_jit(jnp.asarray(blob), meta, use_mxu)
+
+
+def decode_batch(tplans: list, plans: list, use_mxu: bool = True):
+    """Convenience: -> (prefilter, filtered) as per-frame [y, cb, cr] device
+    arrays (chroma order restored)."""
+    F = len(tplans)
+    pl, pc, fl, fc = decode_batch_planes(tplans, plans, use_mxu)
+    pre = [[pl[f], pc[f], pc[F + f]] for f in range(F)]
+    filt = [[fl[f], fc[f], fc[F + f]] for f in range(F)]
+    return pre, filt

@@ -1,10 +1,24 @@
-"""Device-resident wavefront executor: one lax.scan over steps per plane.
+"""Device-resident wavefront executor: ONE lax.scan for the whole frame batch.
 
-All per-step TU data is stacked into [n_steps, capacity, ...] tensors on the
-host once, shipped to the device once, and consumed by a single compiled
-scan -- no per-step host round trips (this was a 100x dispatch-overhead trap
-in the naive loop).  Capacities are bucketed to powers of two and the step
-count padded so compilations cache across frames of a stream.
+Architecture (shaped by measured axon-PJRT costs: h2d ~0.7 GB/s, d2h/sync
+round trips ~20 ms, device scan steps ~5 us):
+
+- Host builds COMPACT per-TU arrays (step-ordered, int16/uint8/bool) plus a
+  [n_steps, cap] gather map per size bucket.  No [n_steps, cap, ...] padding
+  is materialized on the host -- that cost ~200 ms of numpy and 15 MB of
+  upload per 4-frame batch.
+- One jitted program takes the compact arrays, computes residuals
+  (dequant+IDCT), expands everything to step-stacked form with device
+  gathers, and runs the scan.  Zero host round trips inside.
+- Outputs stay on device (callers fetch once, or feed the device-resident
+  loop filters directly).
+
+Luma and chroma planes of every frame in the batch are folded into ONE tall
+plane buffer (per-plane segments of height h_i + GUARD, width = max w_i) and
+decoded by a single scan: per-TU flags (filter_flag, strong_allowed, dc_edge)
+make the kernel behave luma- or chroma-correctly per lane, so same-size TUs
+of all planes share one size bucket and the sequential step count is the max
+(not the sum) over planes.
 """
 from __future__ import annotations
 
@@ -19,7 +33,8 @@ from p265_tpu.kernels.intra_mxu import predict_batch_mxu
 from p265_tpu.kernels.itransform import batch_residual
 
 USE_MXU_INTRA = True  # matmul-formulated intra predictor (kernels/intra_mxu)
-from p265_tpu.plan.frame_plan import PlanePlan, TensorPlan
+
+from p265_tpu.plan.frame_plan import PlanePlan, TensorPlan, TuBatch
 
 GUARD = 32
 
@@ -55,60 +70,108 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+_BOOL_FIELDS = ("ref_ok", "filter_flag", "strong_allowed", "inter", "dc_edge",
+                "is_dst", "tskip", "bypass")
+
+
 def _stack_plane(pp: PlanePlan):
-    """Host: per-size stacked step tensors + residual gather maps (cached)."""
+    """Host: per-size COMPACT per-TU arrays + [n_steps, cap] gather maps.
+
+    Every per-TU array carries one extra pad row at index n (scatters into
+    the guard region / neutral values); idx_map points pad lanes there.
+    Returns (n_steps, {log2: dict}) where each dict holds 'idx_map' plus the
+    compact fields consumed by _run_plane_packed.  Cached on the PlanePlan.
+    """
     cached = getattr(pp, "_stacked_cache", None)
     if cached is not None:
         return cached
     n_steps = _round_up(max(pp.n_steps, 1), 8)
+    ph, pw = pp.shape
+    coord_dt = np.uint16 if max(ph + GUARD, pw) < 65000 else np.int32
     out = {}
     for log2, b in pp.batches.items():
-        size = 1 << log2
         counts = np.bincount(b.step, minlength=n_steps + 1)[1:n_steps + 1]
         cap = _pow2(int(counts.max()) if counts.size else 1)
         n = len(b.step)
-        # index map into the bucket axis; n = pad slot (points past real TUs)
-        # vectorized: lane l of step-row s holds starts[s]+l while < starts[s+1]
+        # lane l of step-row s holds starts[s]+l while < starts[s+1]; else n
         starts = np.searchsorted(b.step, np.arange(1, n_steps + 2))
         lane = np.arange(cap)[None, :]
         idx_map = starts[:n_steps, None] + lane
         idx_map = np.where(idx_map < starts[1:n_steps + 1, None], idx_map, n)
-        idx_map = idx_map.astype(np.int32)
 
-        def pad_gather(a, fill=0):
-            ap = np.concatenate([a, np.full((1,) + a.shape[1:], fill, a.dtype)])
-            return ap[idx_map]
+        def padded(a, fill, dt):
+            return np.concatenate(
+                [a, np.full((1,) + a.shape[1:], fill, a.dtype)]).astype(dt)
 
-        ph, pw = pp.shape
-        pos = pad_gather(b.pos)
-        pos[idx_map == n] = (ph, 0)  # pads scatter into the guard region
-        out[log2] = dict(
-            idx_map=idx_map,
-            pos=pos,
-            ref_ys=pad_gather(b.ref_ys),
-            ref_xs=pad_gather(b.ref_xs),
-            ref_ok=pad_gather(b.ref_ok),
-            mode=pad_gather(b.mode, 1),
-            filter_flag=pad_gather(b.filter_flag),
-            strong_allowed=pad_gather(b.strong_allowed),
-            inter=pad_gather(b.inter),
+        d = dict(
+            idx_map=idx_map.astype(np.int32),
+            pos=padded(b.pos, 0, coord_dt),
+            ref_ys=padded(b.ref_ys, 0, coord_dt),
+            ref_xs=padded(b.ref_xs, 0, coord_dt),
+            ref_ok=padded(b.ref_ok, False, bool),
+            mode=padded(b.mode, 1, np.uint8),
+            filter_flag=padded(b.filter_flag, False, bool),
+            strong_allowed=padded(b.strong_allowed, False, bool),
+            inter=padded(b.inter, False, bool),
+            dc_edge=padded(b.dc_edge, False, bool),
+            coeffs=padded(b.coeffs, 0, np.int16),
+            qp=padded(b.qp, 0, np.uint8),
+            is_dst=padded(b.is_dst, False, bool),
+            tskip=padded(b.tskip, False, bool),
+            bypass=padded(b.bypass, False, bool),
         )
+        d["pos"][n] = (ph, 0)  # pad TUs scatter into the guard region
+        if b.scale_m is not None:
+            d["scale_m"] = padded(b.scale_m, 16, np.uint8)
+        out[log2] = d
     pp._stacked_cache = (n_steps, out)
     return n_steps, out
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "c_idx", "shape"))
-def _run_plane(stacked, residuals, sizes: tuple, c_idx: int, shape: tuple,
-               pred_plane=None):
-    """stacked: dict log2 -> dict of [n_steps, cap, ...]; residuals: dict
-    log2 -> [n_steps, cap, s, s].  Returns the reconstructed plane."""
+def _expand(tu, idx_maps, sizes, use_mxu):
+    """Device: compact per-TU arrays -> step-stacked scan inputs."""
+    stacked = {}
+    for log2 in sizes:
+        d = tu[log2]
+        im = idx_maps[log2]
+        sm = d.get("scale_m")
+        res = batch_residual.__wrapped__(
+            d["coeffs"].astype(jnp.int32), d["qp"].astype(jnp.int32),
+            d["is_dst"], d["tskip"], log2, use_mxu, bypass=d["bypass"],
+            scale_m=None if sm is None else sm.astype(jnp.int32))
+        stacked[log2] = dict(
+            pos=d["pos"].astype(jnp.int32)[im],
+            ref_ys=d["ref_ys"].astype(jnp.int32)[im],
+            ref_xs=d["ref_xs"].astype(jnp.int32)[im],
+            ref_ok=d["ref_ok"][im],
+            mode=d["mode"].astype(jnp.int32)[im],
+            filter_flag=d["filter_flag"][im],
+            strong_allowed=d["strong_allowed"][im],
+            inter=d["inter"][im],
+            dc_edge=d["dc_edge"][im],
+            residual=res[im],
+        )
+    return stacked
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sizes", "c_idx", "shape", "use_mxu"))
+def _run_plane_packed(tu, idx_maps, sizes: tuple, c_idx: int, shape: tuple,
+                      pred_plane=None, use_mxu: bool = True):
+    """Compact per-TU inputs -> reconstructed plane, all on device."""
+    stacked = _expand(tu, idx_maps, sizes, use_mxu)
+    return _scan_plane(stacked, sizes, c_idx, shape, pred_plane)
+
+
+def _scan_plane(stacked, sizes, c_idx, shape, pred_plane):
     ph, pw = shape
     plane = jnp.zeros((ph + GUARD, pw), jnp.int32)
+    has_inter = pred_plane is not None
     if pred_plane is None:
-        pred_plane = jnp.zeros((1, 1), jnp.int32)
-    pred_pad = jnp.zeros((ph + GUARD, pw), jnp.int32)
-    pred_pad = pred_pad.at[:pred_plane.shape[0], :pred_plane.shape[1]].set(
-        pred_plane[:ph, :pw])
+        pred_pad = jnp.zeros((1, 1), jnp.int32)
+    else:
+        pred_pad = jnp.zeros((ph + GUARD, pw), jnp.int32)
+        pred_pad = pred_pad.at[:ph, :pw].set(pred_plane[:ph, :pw])
 
     def body(plane, step_data):
         pred_fn = (predict_batch_mxu if USE_MXU_INTRA else predict_batch)
@@ -118,73 +181,53 @@ def _run_plane(stacked, residuals, sizes: tuple, c_idx: int, shape: tuple,
                 plane, d["pos"], d["ref_ys"], d["ref_xs"], d["ref_ok"],
                 d["mode"], d["filter_flag"], d["strong_allowed"],
                 d["residual"], 1 << log2, c_idx,
-                inter=d["inter"], pred_plane=pred_pad)
+                inter=d["inter"] if has_inter else None,
+                pred_plane=pred_pad if has_inter else None,
+                dc_edge=d["dc_edge"])
         return plane, None
 
-    scan_in = {log2: dict(stacked[log2], residual=residuals[log2])
-               for log2 in sizes}
-    plane, _ = jax.lax.scan(body, plane, scan_in)
+    plane, _ = jax.lax.scan(body, plane, stacked)
     return plane[:ph]
 
 
-def reconstruct_tpu_scan(tplan: TensorPlan, use_mxu: bool = True):
-    """Stage B via one scan per plane; returns [y, cb, cr] np planes."""
-    outs = []
-    for pp in tplan.planes:
-        if not pp.batches:
-            outs.append(np.zeros(pp.shape, np.int32))
-            continue
-        n_steps, stacked = _stack_plane(pp)
-        residuals = {}
-        for log2, b in pp.batches.items():
-            res = _residual_for(b, log2, use_mxu)
-            res = jnp.concatenate(
-                [res, jnp.zeros((1,) + res.shape[1:], res.dtype)])
-            residuals[log2] = res[jnp.asarray(stacked[log2]["idx_map"])]
-        dev_stacked = {
-            log2: {k: jnp.asarray(v) for k, v in d.items() if k != "idx_map"}
-            for log2, d in stacked.items()}
-        sizes = tuple(sorted(pp.batches.keys()))
-        pred = (None if pp.inter_pred is None
-                else jnp.asarray(pp.inter_pred))
-        plane = _run_plane(dev_stacked, residuals, sizes,
-                           min(pp.plane_idx, 1), pp.shape, pred)
-        outs.append(plane)
-    return [np.asarray(p) for p in outs]
+# legacy entry point used by shard/decoder.py: stacked tensors already built
+@functools.partial(jax.jit, static_argnames=("sizes", "c_idx", "shape"))
+def _run_plane(stacked, residuals, sizes: tuple, c_idx: int, shape: tuple,
+               pred_plane=None):
+    merged = {log2: dict(stacked[log2], residual=residuals[log2])
+              for log2 in sizes}
+    return _scan_plane(merged, sizes, c_idx, shape, pred_plane)
 
 
 # ---------------------------------------------------------------------------
-# frame-batched execution: frames are folded into one tall plane buffer
-# (per-frame segments of height H+GUARD) so the single-frame compiled scan is
-# reused with larger step batches -- no vmap, no extra compilation shapes.
-# Independent intra frames / streams are data-parallel (SURVEY.md 7.4).
+# unified merged execution: all planes of all frames fold into one tall plane
+# (per-plane segments of height h_i + GUARD), decoded by ONE scan.  Per-TU
+# flags keep luma/chroma semantics; same-size TUs share buckets.
 # ---------------------------------------------------------------------------
 
 
-def _merge_tensor_plans(tplans: list, p_idx: int):
-    """Merge one plane across F frames into a combined PlanePlan-like view."""
-    return _merge_plane_plans([tp.planes[p_idx] for tp in tplans], p_idx)
+def _merge_segments(pps_: list):
+    """Fold PlanePlans of arbitrary shapes into one tall plane.
 
-
-def _merge_plane_plans(pps_: list, p_idx: int):
-    """Fold same-shaped PlanePlans into one tall plane (stride ph+GUARD).
-    Used for frame batching and for running cb+cr as a single scan."""
-    from p265_tpu.plan.frame_plan import PlanePlan, TuBatch
-
-    ph, pw = pps_[0].shape
-    stride = ph + GUARD
-    F = len(pps_)
+    Returns (merged PlanePlan, [offset per input])."""
+    heights = [pp.shape[0] for pp in pps_]
+    widths = [pp.shape[1] for pp in pps_]
+    pw = max(widths)
+    offs = []
+    off = 0
+    for h in heights:
+        offs.append(off)
+        off += h + GUARD
+    total_h = off - GUARD
     n_steps = max(pp.n_steps for pp in pps_)
-    merged = PlanePlan(p_idx, (stride * F - GUARD, pw), n_steps)
+    merged = PlanePlan(0, (total_h, pw), n_steps)
     all_sizes = sorted({log2 for pp in pps_ for log2 in pp.batches})
     for log2 in all_sizes:
         parts = []
-        for f, pp in enumerate(pps_):
+        for pp, off in zip(pps_, offs):
             b = pp.batches.get(log2)
             if b is None:
                 continue
-            off = f * stride
-            nref2 = b.ref_ys.shape[1]
             pos = b.pos.copy()
             pos[:, 0] += off
             rys = b.ref_ys + off  # invalid refs are gated by ref_ok
@@ -223,55 +266,46 @@ def _merge_plane_plans(pps_: list, p_idx: int):
         )
     preds = None
     if any(pp.inter_pred is not None for pp in pps_):
-        preds = np.zeros((stride * F - GUARD, pw), np.int32)
-        for f, pp in enumerate(pps_):
+        preds = np.zeros((total_h, pw), np.int32)
+        for pp, off in zip(pps_, offs):
             if pp.inter_pred is not None:
-                preds[f * stride:f * stride + ph] = pp.inter_pred
+                h, w = pp.shape
+                preds[off:off + h, :w] = pp.inter_pred
     merged.inter_pred = preds
-    return merged, stride, ph
-
-
-def reconstruct_tpu_scan_frames(tplans: list, use_mxu: bool = True):
-    """Batched Stage B over F same-resolution frames -> list of [y,cb,cr]."""
-    F = len(tplans)
-    if F == 1:
-        return [reconstruct_tpu_scan(tplans[0], use_mxu)]
-    outs_per_frame = [[None] * 3 for _ in range(F)]
-    # luma scan over F frames; cb+cr fold into ONE scan over 2F segments
-    # (identical quadtree geometry, same c_idx=1 kernel) -- one fewer
-    # sequential scan per batch
-    groups = [[tp.planes[0] for tp in tplans],
-              [tp.planes[1] for tp in tplans] + [tp.planes[2] for tp in tplans]]
-    for gi, pps_ in enumerate(groups):
-        merged, stride, ph = _merge_plane_plans(pps_, gi)
-        segs = [(f % F, 1 + f // F if gi else 0) for f in range(len(pps_))]
-        if not merged.batches:
-            for f, p_idx in segs:
-                outs_per_frame[f][p_idx] = np.zeros((ph, merged.shape[1]),
-                                                    np.int32)
-            continue
-        # the merged "plane" already contains per-frame guard segments; the
-        # plain scan adds one more guard at the very bottom (harmless)
-        plane = reconstruct_tpu_scan_plane(merged, use_mxu)
-        for i, (f, p_idx) in enumerate(segs):
-            outs_per_frame[f][p_idx] = plane[i * stride:i * stride + ph]
-    return outs_per_frame
+    return merged, offs
 
 
 def reconstruct_tpu_scan_plane(pp, use_mxu: bool = True):
-    """Run the scan for a single PlanePlan; returns the np plane [shape]."""
+    """Run the scan for a single PlanePlan; returns the DEVICE plane [shape]."""
     n_steps, stacked = _stack_plane(pp)
-    residuals = {}
-    for log2, b in pp.batches.items():
-        res = _residual_for(b, log2, use_mxu)
-        res = jnp.concatenate(
-            [res, jnp.zeros((1,) + res.shape[1:], res.dtype)])
-        residuals[log2] = res[jnp.asarray(stacked[log2]["idx_map"])]
-    dev_stacked = {
-        log2: {k: jnp.asarray(v) for k, v in d.items() if k != "idx_map"}
-        for log2, d in stacked.items()}
+    tu = {log2: {k: v for k, v in d.items() if k != "idx_map"}
+          for log2, d in stacked.items()}
+    idx_maps = {log2: d["idx_map"] for log2, d in stacked.items()}
     sizes = tuple(sorted(pp.batches.keys()))
     pred = (None if pp.inter_pred is None else jnp.asarray(pp.inter_pred))
-    plane = _run_plane(dev_stacked, residuals, sizes,
-                       min(pp.plane_idx, 1), pp.shape, pred)
-    return np.asarray(plane)
+    return _run_plane_packed(tu, idx_maps, sizes, min(pp.plane_idx, 1),
+                             pp.shape, pred, use_mxu)
+
+
+def _reconstruct_merged(pps_: list, use_mxu: bool):
+    """One scan over merged segments -> list of DEVICE planes (input order)."""
+    merged, offs = _merge_segments(pps_)
+    if not merged.batches:
+        return [jnp.zeros(pp.shape, jnp.int32) for pp in pps_]
+    plane = reconstruct_tpu_scan_plane(merged, use_mxu)
+    return [plane[off:off + pp.shape[0], :pp.shape[1]]
+            for pp, off in zip(pps_, offs)]
+
+
+def reconstruct_tpu_scan(tplan: TensorPlan, use_mxu: bool = True):
+    """Stage B via one merged scan; returns [y, cb, cr] device planes."""
+    return _reconstruct_merged(tplan.planes, use_mxu)
+
+
+def reconstruct_tpu_scan_frames(tplans: list, use_mxu: bool = True):
+    """Batched Stage B over F frames -> list of [y, cb, cr] per frame.
+
+    Frames may have different resolutions; all 3F planes run in one scan."""
+    pps_ = [pp for tp in tplans for pp in tp.planes]
+    flat = _reconstruct_merged(pps_, use_mxu)
+    return [flat[3 * f:3 * f + 3] for f in range(len(tplans))]

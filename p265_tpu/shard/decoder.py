@@ -19,9 +19,10 @@ from p265_tpu.kernels.itransform import batch_residual
 from p265_tpu.pipeline.wavefront import GUARD, _pow2, _run_plane, _stack_plane
 
 _FIELDS = ("pos", "ref_ys", "ref_xs", "ref_ok", "mode", "filter_flag",
-           "strong_allowed", "inter")
+           "strong_allowed", "inter", "dc_edge")
 _FILL = {"pos": 0, "ref_ys": 0, "ref_xs": 0, "ref_ok": False, "mode": 1,
-         "filter_flag": False, "strong_allowed": False, "inter": False}
+         "filter_flag": False, "strong_allowed": False, "inter": False,
+         "dc_edge": False}
 
 
 def _pad_stream_plane(pp, sizes, n_steps, caps, use_mxu):
@@ -37,21 +38,23 @@ def _pad_stream_plane(pp, sizes, n_steps, caps, use_mxu):
         nref2 = 2 * (2 * size + 1)
         tails = {"pos": (2,), "ref_ys": (nref2,), "ref_xs": (nref2,),
                  "ref_ok": (nref2,), "mode": (), "filter_flag": (),
-                 "strong_allowed": (), "inter": ()}
+                 "strong_allowed": (), "inter": (), "dc_edge": ()}
         d = own.get(log2)
         out = {}
         for f in _FIELDS:
             dt = (bool if f in ("ref_ok", "filter_flag", "strong_allowed",
-                                "inter") else np.int32)
+                                "inter", "dc_edge") else np.int32)
             a = np.full((n_steps, cap) + tails[f], _FILL[f], dt)
             if d is not None:
-                src = d[f]
+                # expand compact per-TU rows (with pad row at index n) via
+                # the bucket's step gather map
+                src = d[f].astype(dt)[d["idx_map"]]
                 a[:src.shape[0], :src.shape[1]] = src
             out[f] = a
         # pads scatter into guard: rows beyond real data
         mask = np.zeros((n_steps, cap), bool)
         if d is not None:
-            mask[:d["pos"].shape[0], :d["pos"].shape[1]] = True
+            mask[:d["idx_map"].shape[0], :d["idx_map"].shape[1]] = True
             # real pads inside own region already point at (ph, 0)
         out["pos"][~mask] = (ph, 0)
         stacked[log2] = out
@@ -64,7 +67,9 @@ def _pad_stream_plane(pp, sizes, n_steps, caps, use_mxu):
                 jnp.asarray(b.is_dst), jnp.asarray(b.tskip), log2, use_mxu,
                 bypass=jnp.asarray(b.bypass), scale_m=sm))
             rp = np.concatenate([r, np.zeros((1,) + r.shape[1:], r.dtype)])
-            got = rp[d["idx_map"]]
+            got = rp[d["idx_map"][:, :]]
+            got = np.where((d["idx_map"] < len(b.step))[..., None, None],
+                           got, 0)
             res[:got.shape[0], :got.shape[1]] = got
         residuals[log2] = res
     pred = np.zeros((ph, pw), np.int32)
