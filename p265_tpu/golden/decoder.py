@@ -193,7 +193,7 @@ class DecoderBase:
             self._pic = {"plan": plan, "mctx": mctx, "sps": sps, "pps": pps,
                          "poc": poc, "nal_type": unit.nal_type, "ctbs": 0,
                          "n_slices": 0, "bytes": 0, "last_indep_sh": None,
-                         "dep_ctx": None, "dep_avail": None}
+                         "dep_ctx": None, "dep_avail": None, "dep_wpp": None}
         assert self._pic is not None, "slice without first_slice_in_pic start"
         pic_st = self._pic
         plan, mctx, sps = pic_st["plan"], pic_st["mctx"], pic_st["sps"]
@@ -214,10 +214,10 @@ class DecoderBase:
             from p265_tpu.syntax.ctu import DecodeSubstreams
             provider = DecodeSubstreams(unit.rbsp[off:],
                                         sh.entry_point_offsets, ctx)
-            _, coded, coder = parse_slice_data(None, sps, pps, sh, mctx,
-                                               substreams=provider, plan=plan,
-                                               slice_idx=slice_idx,
-                                               carry_avail=carry)
+            _, coded, coder = parse_slice_data(
+                None, sps, pps, sh, mctx, substreams=provider, plan=plan,
+                slice_idx=slice_idx, carry_avail=carry,
+                wpp_carry=pic_st["dep_wpp"] if dependent else None)
         else:
             if use_native:
                 dec = native_mod.NativeCabacDecoder(
@@ -231,6 +231,7 @@ class DecoderBase:
         if pps.dependent_slice_segments_enabled:
             pic_st["dep_ctx"] = ctx.snapshot()
             pic_st["dep_avail"] = coder.avail
+            pic_st["dep_wpp"] = coder.wpp_snapshots
         if not dependent:
             pic_st["last_indep_sh"] = sh
         pic_st["ctbs"] += coded

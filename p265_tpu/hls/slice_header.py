@@ -180,18 +180,33 @@ def write_slice_header(w: BitWriter, h: SliceHeader, sps: SPS, pps: PPS) -> None
                 if len(sps.st_rps) > 1:
                     w.u(h.st_rps_idx, max(1, math.ceil(math.log2(len(sps.st_rps)))))
             if sps.long_term_ref_pics_present:
-                # slice-signaled entries only (num_long_term_sps == 0)
+                # SPS-referenced entries (lt_idx_sps) must precede
+                # slice-signaled ones (spec 7.3.6.1 loop order)
+                sps_ents = [e for e in h.lt_entries if "sps_idx" in e]
+                pic_ents = [e for e in h.lt_entries if "sps_idx" not in e]
                 if sps.num_long_term_ref_pics > 0:
-                    w.ue(0)  # num_long_term_sps
-                w.ue(len(h.lt_entries))
+                    w.ue(len(sps_ents))
+                else:
+                    assert not sps_ents, "lt_idx_sps without SPS candidates"
+                w.ue(len(pic_ents))
+                num_lt_sps = len(sps_ents)
                 prev_cycle = 0
-                for i, e in enumerate(h.lt_entries):
-                    w.u(e["poc_lsb"], sps.log2_max_poc_lsb)
-                    w.u(int(e["used"]), 1)
+                for i, e in enumerate(sps_ents + pic_ents):
+                    if i < num_lt_sps:
+                        assert (sps.lt_ref_poc_lsb[e["sps_idx"]]
+                                == e["poc_lsb"])
+                        if sps.num_long_term_ref_pics > 1:
+                            w.u(e["sps_idx"], math.ceil(
+                                math.log2(sps.num_long_term_ref_pics)))
+                    else:
+                        w.u(e["poc_lsb"], sps.log2_max_poc_lsb)
+                        w.u(int(e["used"]), 1)
                     w.u(int(e["msb_present"]), 1)
                     if e["msb_present"]:
-                        delta = e["msb_cycle"] - (prev_cycle if i else 0)
-                        w.ue(delta)
+                        # DeltaPocMsbCycleLt accumulation resets at i == 0
+                        # and i == num_long_term_sps (spec 7.4.7.1)
+                        base = prev_cycle if i not in (0, num_lt_sps) else 0
+                        w.ue(e["msb_cycle"] - base)
                         prev_cycle = e["msb_cycle"]
             if sps.temporal_mvp_enabled:
                 w.u(int(h.temporal_mvp_enabled), 1)
@@ -299,16 +314,28 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps_map: dict[int, SPS],
                 num_lt_sps = 0
                 if sps.num_long_term_ref_pics > 0:
                     num_lt_sps = r.ue()
-                assert num_lt_sps == 0, "SPS-signaled LT sets not supported"
-                n_lt = r.ue()
+                h.num_long_term_pics = r.ue()
                 prev_cycle = 0
-                for i in range(n_lt):
-                    e = {"poc_lsb": r.u(sps.log2_max_poc_lsb),
-                         "used": bool(r.u(1)), "msb_present": False,
-                         "msb_cycle": 0}
+                for i in range(num_lt_sps + h.num_long_term_pics):
+                    if i < num_lt_sps:
+                        idx = 0
+                        if sps.num_long_term_ref_pics > 1:
+                            idx = r.u(math.ceil(
+                                math.log2(sps.num_long_term_ref_pics)))
+                        e = {"poc_lsb": sps.lt_ref_poc_lsb[idx],
+                             "used": bool(sps.lt_used_by_curr[idx]),
+                             "msb_present": False, "msb_cycle": 0,
+                             "sps_idx": idx}
+                    else:
+                        e = {"poc_lsb": r.u(sps.log2_max_poc_lsb),
+                             "used": bool(r.u(1)), "msb_present": False,
+                             "msb_cycle": 0}
                     e["msb_present"] = bool(r.u(1))
                     if e["msb_present"]:
-                        cyc = r.ue() + (prev_cycle if i else 0)
+                        # accumulation resets at i == 0 and
+                        # i == num_long_term_sps (spec 7.4.7.1)
+                        base = prev_cycle if i not in (0, num_lt_sps) else 0
+                        cyc = r.ue() + base
                         e["msb_cycle"] = cyc
                         prev_cycle = cyc
                     h.lt_entries.append(e)

@@ -242,7 +242,7 @@ class CtuCoder:
                  plan: FramePlan, is_enc: bool, planner=None,
                  mctx: MotionCtx | None = None, substreams=None,
                  start_ctb: int = 0, slice_idx: int = 0, iters=None,
-                 carry_avail=None):
+                 carry_avail=None, wpp_carry=None):
         self.substreams = substreams
         if substreams is not None:
             engine = substreams.get(0)
@@ -279,6 +279,9 @@ class CtuCoder:
             plan.scaling = resolve_scaling_matrices(sld)
         self.start_ctb = start_ctb
         self.slice_idx = slice_idx
+        # WPP context snapshots keyed by CTB row; carried across dependent
+        # slice segments of the same slice (spec 9.3.1 sync storage)
+        self.wpp_snapshots: dict = {} if wpp_carry is None else wpp_carry
         if plan.slice_of_ctb is None:
             plan.slice_of_ctb = np.full(sps.num_ctbs, -1, np.int32)
         self.cu_bypass = False
@@ -351,28 +354,50 @@ class CtuCoder:
             n_ctbs = len(scan) - start_pos
         end_pos_enc = (start_pos + n_ctbs) if n_ctbs is not None else None
         last_addr = scan[end_pos_enc - 1] if end_pos_enc else scan[-1]
-        wpp_snapshots: dict[int, tuple] = {}
+        wpp_snapshots = self.wpp_snapshots
         ctx = self.engine.ctx
         n_segs = len(ti.segments)
         coded = 0
         done = False
+        local_seg = 0  # substream index WITHIN this slice segment's data
         for seg_idx, seg in enumerate(ti.segments):
+            full_seg_start = seg[0] if seg else -1
             if self.start_ctb:
                 seg = [a for a in seg if scan.index(a) >= start_pos]
             if not seg:
                 continue
             self.qps.start_segment(self.sh.slice_qp)
-            if coded > 0 or (self.start_ctb == 0 and seg_idx > 0):
+            first_of_slice = local_seg == 0
+            if not first_of_slice:
                 assert self.substreams is not None, "need entry points"
-                self._switch_engine(seg_idx)
-                if ti.wpp:
-                    snap = wpp_snapshots.get(seg_idx - 1)
-                    if wc > 1 and snap is not None:
-                        ctx.restore(snap)
-                    else:
-                        ctx.reinit(self.sh.init_type(), self.sh.slice_qp)
-                else:
+                self._switch_engine(local_seg)
+            if ti.wpp and seg[0] % wc == 0 and not (
+                    first_of_slice and self.sh.first_slice_in_pic):
+                # CTU-row start: restore the row-above snapshot when the
+                # sync source CTB (above-right) is in the same slice
+                # (spec 9.3.1); otherwise contexts re-initialize -- except
+                # for a dependent segment's own first substream, which
+                # keeps the carried end-of-previous-segment state
+                row = seg[0] // wc
+                snap = wpp_snapshots.get(row - 1)
+                src_ok = (wc > 1 and snap is not None and row > 0
+                          and self.plan.slice_of_ctb[seg[0] - wc + 1]
+                          == self.slice_idx)
+                if src_ok:
+                    ctx.restore(snap)
+                elif not (first_of_slice
+                          and self.sh.dependent_slice_segment):
                     ctx.reinit(self.sh.init_type(), self.sh.slice_qp)
+            elif not ti.wpp and not first_of_slice:
+                ctx.reinit(self.sh.init_type(), self.sh.slice_qp)
+            elif (not ti.wpp and first_of_slice
+                  and self.sh.dependent_slice_segment
+                  and self.pps.tiles_enabled
+                  and seg[0] == full_seg_start):
+                # dependent segment starting exactly at a tile start: the
+                # tile context reset wins over the dependent-segment restore
+                ctx.reinit(self.sh.init_type(), self.sh.slice_qp)
+            local_seg += 1
             for addr in seg:
                 xc = (addr % wc) << sps.log2_ctb_size
                 yc = (addr // wc) << sps.log2_ctb_size
@@ -1081,12 +1106,13 @@ class CtuCoder:
 def parse_slice_data(dec, sps: SPS, pps: PPS, sh: SliceHeader,
                      mctx: MotionCtx | None = None,
                      substreams=None, plan: FramePlan | None = None,
-                     slice_idx: int = 0, carry_avail=None):
+                     slice_idx: int = 0, carry_avail=None, wpp_carry=None):
     if plan is None:
         plan = FramePlan(sps, pps, sh)
     coder = CtuCoder(dec, sps, pps, sh, plan, is_enc=False, mctx=mctx,
                      substreams=substreams,
                      start_ctb=sh.slice_segment_address,
-                     slice_idx=slice_idx, carry_avail=carry_avail)
+                     slice_idx=slice_idx, carry_avail=carry_avail,
+                     wpp_carry=wpp_carry)
     coded = coder.code_slice_data()
     return plan, coded, coder

@@ -210,12 +210,26 @@ class Encoder:
             # the writer's delta accumulation is exercised for >1 entry)
             max_lsb = sps.max_poc_lsb
             poc_msb_cur = poc - (poc & (max_lsb - 1))
+            # a head run of entries matching SPS LT candidates is signaled
+            # via lt_idx_sps (they must precede slice-signaled entries, so
+            # stop at the first non-match to preserve reference order)
+            sps_avail = list(range(sps.num_long_term_ref_pics))
+            head = True
             for ref in lt_pocs:
                 lsb = ref & (max_lsb - 1)
                 cycle = (poc_msb_cur + lsb - ref) // max_lsb
-                sh.lt_entries.append({"poc_lsb": lsb, "used": True,
-                                      "msb_present": True,
-                                      "msb_cycle": cycle})
+                e = {"poc_lsb": lsb, "used": True,
+                     "msb_present": True, "msb_cycle": cycle}
+                if head:
+                    m = next((i for i in sps_avail
+                              if sps.lt_ref_poc_lsb[i] == lsb
+                              and sps.lt_used_by_curr[i]), None)
+                    if m is None:
+                        head = False
+                    else:
+                        e["sps_idx"] = m
+                        sps_avail.remove(m)
+                sh.lt_entries.append(e)
             sh.num_pic_total_curr = (sum(rps.used_s0) + sum(rps.used_s1)
                                      + len(lt_pocs))
             sh.ref_pic_list_modification_l0 = mod_l0
@@ -239,15 +253,24 @@ class Encoder:
         self.tile_info = build_tile_info(sps, pps)
         self.cur_tile = 0
         self.dependent_slices = dependent_slices
-        if num_slices > 1:
-            assert not (pps.tiles_enabled or pps.entropy_coding_sync_enabled), \
-                "multi-slice combined with tiles/WPP is not supported yet"
-            if dependent_slices:
-                assert pps.dependent_slice_segments_enabled
+        if num_slices > 1 and dependent_slices:
+            assert pps.dependent_slice_segments_enabled
         scan = self.tile_info.ctb_scan
-        per = (len(scan) + num_slices - 1) // num_slices
-        self.slice_chunks = [scan[i * per:(i + 1) * per]
-                             for i in range(num_slices) if scan[i * per:(i + 1) * per]]
+        if num_slices > 1 and (pps.tiles_enabled
+                               or pps.entropy_coding_sync_enabled):
+            # slice boundaries align with substream starts (whole tiles /
+            # whole WPP rows per slice -- the spec's slices-contain-tiles
+            # conformance shape)
+            segs = self.tile_info.segments
+            per = (len(segs) + num_slices - 1) // num_slices
+            self.slice_chunks = [
+                [a for s in segs[i * per:(i + 1) * per] for a in s]
+                for i in range(num_slices) if segs[i * per:(i + 1) * per]]
+        else:
+            per = (len(scan) + num_slices - 1) // num_slices
+            self.slice_chunks = [
+                scan[i * per:(i + 1) * per]
+                for i in range(num_slices) if scan[i * per:(i + 1) * per]]
         self.slice_of_ctb_plan = np.zeros(sps.num_ctbs, np.int32)
         if not dependent_slices:
             for si, ch in enumerate(self.slice_chunks):
@@ -958,26 +981,43 @@ class Encoder:
             out = b""
             iters = (iter(plan.tus), iter(plan.pus))
             dep = self.dependent_slices
+            substreamed = (pps.tiles_enabled
+                           or pps.entropy_coding_sync_enabled)
             carry = None
+            wpp_carry = None
             for si, chunk in enumerate(self.slice_chunks):
                 shs = copy.copy(sh)
                 shs.first_slice_in_pic = si == 0
                 shs.slice_segment_address = chunk[0]
                 shs.dependent_slice_segment = dep and si > 0
-                w = BitWriter()
-                write_slice_header(w, shs, sps, pps)
                 if not (dep and si > 0):
                     ctx.reinit(sh.init_type(), sh.slice_qp)
-                enc = CabacEncoder(w, ctx)
-                coder = CtuCoder(enc, sps, pps, shs, plan, is_enc=True,
-                                 planner=self.planner, mctx=mctx,
-                                 start_ctb=chunk[0],
-                                 slice_idx=0 if dep else si, iters=iters,
-                                 carry_avail=carry if dep and si > 0 else None)
-                coder.code_slice_data(n_ctbs=len(chunk))
+                kwargs = dict(planner=self.planner, mctx=mctx,
+                              start_ctb=chunk[0],
+                              slice_idx=0 if dep else si, iters=iters,
+                              carry_avail=carry if dep and si > 0 else None,
+                              wpp_carry=wpp_carry if dep and si > 0 else None)
+                if substreamed:
+                    provider = EncodeSubstreams(ctx)
+                    coder = CtuCoder(None, sps, pps, shs, plan, is_enc=True,
+                                     substreams=provider, **kwargs)
+                    coder.code_slice_data(n_ctbs=len(chunk))
+                    data, entry_sizes = provider.finalize()
+                    shs.entry_point_offsets = entry_sizes
+                    w = BitWriter()
+                    write_slice_header(w, shs, sps, pps)
+                    out += nal.make_nal(sh.nal_type, w.get_bytes() + data)
+                else:
+                    w = BitWriter()
+                    write_slice_header(w, shs, sps, pps)
+                    enc = CabacEncoder(w, ctx)
+                    coder = CtuCoder(enc, sps, pps, shs, plan, is_enc=True,
+                                     **kwargs)
+                    coder.code_slice_data(n_ctbs=len(chunk))
+                    w.rbsp_trailing_bits()
+                    out += nal.make_nal(sh.nal_type, w.get_bytes())
                 carry = coder.avail
-                w.rbsp_trailing_bits()
-                out += nal.make_nal(sh.nal_type, w.get_bytes())
+                wpp_carry = coder.wpp_snapshots
             return out
         if pps.tiles_enabled or pps.entropy_coding_sync_enabled:
             provider = EncodeSubstreams(ctx)

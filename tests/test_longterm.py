@@ -9,11 +9,17 @@ from p265_tpu.testgen.encoder import Encoder, make_moving_sequence
 
 
 def _lt_roundtrip(n_frames, w=96, h=64, qp=30, seed=1, tpu=False,
-                  log2_max_poc_lsb=8):
+                  log2_max_poc_lsb=8, sps_lt=False):
     sps = SPS(pic_width=w, pic_height=h, temporal_mvp_enabled=True,
               log2_max_poc_lsb=log2_max_poc_lsb,
               num_reorder_pics=2, max_dec_pic_buffering=6)
     sps.long_term_ref_pics_present = True
+    if sps_lt:
+        # SPS-signaled LT candidates: POC-0 lsb plus an unused decoy so the
+        # slice writes a real lt_idx_sps (>1 candidates -> coded index)
+        sps.num_long_term_ref_pics = 2
+        sps.lt_ref_poc_lsb = [7, 0]
+        sps.lt_used_by_curr = [0, 1]
     pps = PPS(init_qp=qp, sign_data_hiding=True)
     frames = make_moving_sequence(w, h, n_frames, seed=seed)
     enc = Encoder(sps, pps, qp=qp, seed=seed)
@@ -47,6 +53,32 @@ def test_lt_poc_wrap_msb_cycle():
 
 def test_lt_tpu_bit_exact():
     _lt_roundtrip(4, seed=4, tpu=True)
+
+
+def test_lt_sps_signaled_sets():
+    # the LT entry for POC 0 rides the SPS candidate list (num_long_term_sps
+    # > 0, lt_idx_sps coded) instead of being slice-signaled
+    stream, _ = _lt_roundtrip(5, seed=6, sps_lt=True)
+    # confirm the bitstream really took the lt_idx_sps path
+    from p265_tpu.hls import nal as nal_mod
+    from p265_tpu.hls.params import parse_pps, parse_sps
+    from p265_tpu.hls.slice_header import parse_slice_header
+    sps_map, pps_map, saw_sps_entry = {}, {}, False
+    for unit in nal_mod.split_nal_units(stream):
+        t, rbsp = unit.nal_type, unit.rbsp
+        if t == nal_mod.NAL_SPS:
+            s = parse_sps(rbsp)
+            sps_map[s.sps_id] = s
+        elif t == nal_mod.NAL_PPS:
+            p = parse_pps(rbsp)
+            pps_map[p.pps_id] = p
+        elif t == nal_mod.NAL_TRAIL_R:
+            h, _, _, _ = parse_slice_header(rbsp, t, sps_map, pps_map)
+            for e in h.lt_entries:
+                if "sps_idx" in e:
+                    assert e["sps_idx"] == 1 and e["poc_lsb"] == 0
+                    saw_sps_entry = True
+    assert saw_sps_entry
 
 
 def test_lt_marking_in_dpb():
