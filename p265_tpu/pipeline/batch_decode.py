@@ -83,7 +83,8 @@ def _unpack(blob, specs):
 
 _TU_FIELDS = ("pos", "ref_ys", "ref_xs", "ref_ok", "mode", "filter_flag",
               "strong_allowed", "inter", "dc_edge", "coeffs", "qp", "is_dst",
-              "tskip", "bypass", "scale_m", "idx_map")
+              "tskip", "bypass", "scale_m", "idx_map", "okc", "pos4",
+              "counts")
 
 
 def _pad_pow2_rows(a: np.ndarray) -> np.ndarray:
@@ -123,6 +124,11 @@ def _build_batch(tplans: list, plans: list):
         for f in _TU_FIELDS:
             if f == "idx_map":
                 a = im
+            elif f == "counts":
+                a = d[f]
+                if a.shape[0] < n_steps:
+                    a = np.concatenate(
+                        [a, np.zeros(n_steps - a.shape[0], a.dtype)])
             elif f == "scale_m":
                 if "scale_m" not in d:
                     continue
@@ -186,6 +192,9 @@ def _build_batch(tplans: list, plans: list):
         fp["pred"] = len(arrays)
         arrays.append(np.clip(merged.inter_pred, 0, 255).astype(np.uint8))
 
+    from p265_tpu.pipeline.wavefront import planeT_geometry
+    _, _, _, _, tr, tl = planeT_geometry(merged)
+
     blob, specs = _pack(arrays)
     sizes = tuple(sorted(merged.batches.keys()))
     tu_field_specs = tuple(sorted(
@@ -197,6 +206,7 @@ def _build_batch(tplans: list, plans: list):
         tu=tu_field_specs, fp=tuple(sorted(fp.items())),
         specs=specs, deblock=deblock_on, sao_luma=sao_luma,
         sao_chroma=sao_chroma, ctb=sps.ctb_size, has_masks=has_masks,
+        tr=tr, tl=tl, pscan_ok=merged.inter_pred is None,
     )
     return blob, _freeze(meta)
 
@@ -214,8 +224,10 @@ def _thaw(t):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "use_mxu"))
-def _decode_batch_jit(blob, meta, use_mxu: bool = True):
+@functools.partial(jax.jit,
+                   static_argnames=("meta", "use_mxu", "pscan", "interpret"))
+def _decode_batch_jit(blob, meta, use_mxu: bool = True,
+                      pscan: bool = False, interpret: bool = False):
     m = _thaw(meta)
     arrays = _unpack(blob, m["specs"])
     tu = {}
@@ -229,8 +241,15 @@ def _decode_batch_jit(blob, meta, use_mxu: bool = True):
     pred = None
     if "pred" in fp:
         pred = fp["pred"].astype(jnp.int32)
-    stacked = _expand(tu, idx_maps, m["sizes"], use_mxu)
-    plane = _scan_plane(stacked, m["sizes"], 0, m["shape"], pred)
+    if pscan and m["pscan_ok"]:
+        from p265_tpu.kernels.pallas_wavefront import scan_plane_pallas
+        stacked = _expand(tu, idx_maps, m["sizes"], use_mxu,
+                          pallas_fields=True)
+        plane = scan_plane_pallas(stacked, m["sizes"], m["shape"],
+                                  m["tr"], m["tl"], interpret=interpret)
+    else:
+        stacked = _expand(tu, idx_maps, m["sizes"], use_mxu)
+        plane = _scan_plane(stacked, m["sizes"], 0, m["shape"], pred)
 
     F, H, W, Hc, Wc = m["F"], m["H"], m["W"], m["Hc"], m["Wc"]
     seg_h, seg_hc = m["seg_h"], m["seg_hc"]
@@ -278,18 +297,31 @@ def _decode_batch_jit(blob, meta, use_mxu: bool = True):
             luma.astype(jnp.uint8), chroma.astype(jnp.uint8))
 
 
-def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True):
+USE_PALLAS_SCAN = True  # pallas wavefront mega-kernel on accelerators
+
+
+def _pscan_default(interpret: bool):
+    return USE_PALLAS_SCAN and (interpret or jax.default_backend() != "cpu")
+
+
+def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
+                        pscan: bool | None = None, interpret: bool = False):
     """F frame plans -> (pre_luma [F,H,W]u8, pre_chroma [2F]..., luma, chroma)
     device arrays via one upload + one dispatch."""
     blob, meta = _build_batch(tplans, plans)
-    return _decode_batch_jit(jnp.asarray(blob), meta, use_mxu)
+    if pscan is None:
+        pscan = _pscan_default(interpret)
+    return _decode_batch_jit(jnp.asarray(blob), meta, use_mxu, pscan,
+                             interpret)
 
 
-def decode_batch(tplans: list, plans: list, use_mxu: bool = True):
+def decode_batch(tplans: list, plans: list, use_mxu: bool = True,
+                 pscan: bool | None = None, interpret: bool = False):
     """Convenience: -> (prefilter, filtered) as per-frame [y, cb, cr] device
     arrays (chroma order restored)."""
     F = len(tplans)
-    pl, pc, fl, fc = decode_batch_planes(tplans, plans, use_mxu)
+    pl, pc, fl, fc = decode_batch_planes(tplans, plans, use_mxu, pscan,
+                                         interpret)
     pre = [[pl[f], pc[f], pc[F + f]] for f in range(F)]
     filt = [[fl[f], fc[f], fc[F + f]] for f in range(F)]
     return pre, filt

@@ -74,6 +74,32 @@ _BOOL_FIELDS = ("ref_ok", "filter_flag", "strong_allowed", "inter", "dc_edge",
                 "is_dst", "tskip", "bypass")
 
 
+def planeT_geometry(pp: PlanePlan):
+    """planeT (transposed-plane) geometry for the pallas wavefront kernel.
+
+    Returns (offs, heights, widths, tb_table, tr, tl): per-segment row bases
+    into the [tr, tl] transposed scratch (512 rows for wide segments, 256
+    for chroma-width ones)."""
+    offs = getattr(pp, "seg_offsets", None)
+    if offs is None:
+        offs = [0]
+        heights = [pp.shape[0]]
+        widths = [pp.shape[1]]
+    else:
+        heights = pp.seg_heights
+        widths = pp.seg_widths
+    tb_table, tb = [], 0
+    # RMW row window is [x & ~7, x + s + 8); blend lanes stop at yl + s
+    for w in widths:
+        tb_table.append(tb)
+        tb += 512 if w + 40 > 256 else 256
+    tl = _round_up(max(heights) + 1, 128)
+    for h, w in zip(heights, widths):
+        assert w + 40 <= 512, "segment too wide for the pallas scan"
+        assert h <= tl
+    return offs, heights, widths, tb_table, tb, tl
+
+
 def _stack_plane(pp: PlanePlan):
     """Host: per-size COMPACT per-TU arrays + [n_steps, cap] gather maps.
 
@@ -87,6 +113,9 @@ def _stack_plane(pp: PlanePlan):
         return cached
     n_steps = _round_up(max(pp.n_steps, 1), 8)
     ph, pw = pp.shape
+    offs, heights, widths, tb_table, _, _ = planeT_geometry(pp)
+    offs_a = np.asarray(offs)
+    tb_a = np.asarray(tb_table, np.int32)
     coord_dt = np.uint16 if max(ph + GUARD, pw) < 65000 else np.int32
     out = {}
     for log2, b in pp.batches.items():
@@ -103,7 +132,23 @@ def _stack_plane(pp: PlanePlan):
             return np.concatenate(
                 [a, np.full((1,) + a.shape[1:], fill, a.dtype)]).astype(dt)
 
+        # pallas-kernel fields: scan-ordered availability mask + extended
+        # positions (y, x, planeT row base, segment-local y)
+        size = 1 << log2
+        n2 = 2 * size
+        okp = 256 if size == 32 else 128
+        okc = np.zeros((n, okp), np.int8)
+        # RAW availability, already in spec scan order (frame_plan)
+        okc[:, :2 * n2 + 1] = b.ok_scan
+        seg = np.searchsorted(offs_a, b.pos[:, 0], side="right") - 1
+        pos4 = np.stack([b.pos[:, 0], b.pos[:, 1], tb_a[seg],
+                         b.pos[:, 0] - offs_a[seg]], axis=1).astype(np.int32)
+
         d = dict(
+            counts=(starts[1:n_steps + 1]
+                    - starts[:n_steps]).astype(np.int32),
+            okc=padded(okc, 0, np.int8),
+            pos4=padded(pos4, 0, np.int32),
             idx_map=idx_map.astype(np.int32),
             pos=padded(b.pos, 0, coord_dt),
             ref_ys=padded(b.ref_ys, 0, coord_dt),
@@ -128,7 +173,7 @@ def _stack_plane(pp: PlanePlan):
     return n_steps, out
 
 
-def _expand(tu, idx_maps, sizes, use_mxu):
+def _expand(tu, idx_maps, sizes, use_mxu, pallas_fields: bool = False):
     """Device: compact per-TU arrays -> step-stacked scan inputs."""
     stacked = {}
     for log2 in sizes:
@@ -139,6 +184,18 @@ def _expand(tu, idx_maps, sizes, use_mxu):
             d["coeffs"].astype(jnp.int32), d["qp"].astype(jnp.int32),
             d["is_dst"], d["tskip"], log2, use_mxu, bypass=d["bypass"],
             scale_m=None if sm is None else sm.astype(jnp.int32))
+        if pallas_fields:
+            stacked[log2] = dict(
+                pos4=d["pos4"].astype(jnp.int32)[im],
+                okc=d["okc"][im],
+                counts=d["counts"].astype(jnp.int32),
+                mode=d["mode"].astype(jnp.int32)[im],
+                filter_flag=d["filter_flag"][im],
+                strong_allowed=d["strong_allowed"][im],
+                dc_edge=d["dc_edge"][im],
+                residual=res[im],
+            )
+            continue
         stacked[log2] = dict(
             pos=d["pos"].astype(jnp.int32)[im],
             ref_ys=d["ref_ys"].astype(jnp.int32)[im],
@@ -221,6 +278,9 @@ def _merge_segments(pps_: list):
     total_h = off - GUARD
     n_steps = max(pp.n_steps for pp in pps_)
     merged = PlanePlan(0, (total_h, pw), n_steps)
+    merged.seg_offsets = list(offs)
+    merged.seg_heights = list(heights)
+    merged.seg_widths = list(widths)
     all_sizes = sorted({log2 for pp in pps_ for log2 in pp.batches})
     for log2 in all_sizes:
         parts = []
@@ -263,6 +323,7 @@ def _merge_segments(pps_: list):
             ref_ys=np.concatenate([r for _, _, r in parts])[order],
             ref_xs=cat("ref_xs"),
             ref_ok=cat("ref_ok"),
+            ok_scan=cat("ok_scan"),
         )
     preds = None
     if any(pp.inter_pred is not None for pp in pps_):

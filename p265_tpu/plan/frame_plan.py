@@ -49,6 +49,9 @@ class TuBatch:
     ref_ys: np.ndarray     # [n, 2*(2s+1)] gather rows (left block then top block)
     ref_xs: np.ndarray     # [n, 2*(2s+1)]
     ref_ok: np.ndarray     # [n, 2*(2s+1)] bool: False -> constant 128
+    # RAW (pre-substitution) availability in spec search order
+    # (bottom-left .. corner .. top-right), for in-kernel substitution
+    ok_scan: np.ndarray = None   # [n, 4s+1] bool
 
 
 @dataclass
@@ -130,7 +133,8 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
                 xs = np.zeros(nref2, np.int32)
                 okv = np.zeros(nref2, bool)
                 step = 1
-                per_tu.append((t, step, ys, xs, okv))
+                per_tu.append((t, step, ys, xs, okv,
+                               np.zeros(4 * n + 1, bool)))
                 y1 = min(t.y + size, ph)
                 x1 = min(t.x + size, pw)
                 avail[t.y >> 2:(y1 + 3) >> 2, t.x >> 2:(x1 + 3) >> 2] = True
@@ -171,7 +175,7 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
                 if s is not None:
                     dep = max(dep, int(prod_step[s[1] >> 2, s[0] >> 2]))
             step = dep + 1
-            per_tu.append((t, step, ys, xs, okv))
+            per_tu.append((t, step, ys, xs, okv, np.array(oks, bool)))
             # mark this TU's samples
             y1 = min(t.y + size, ph)
             x1 = min(t.x + size, pw)
@@ -183,8 +187,7 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
                        inter_pred=None if inter_pred is None else inter_pred[p_idx])
         for log2 in LOG2_SIZES:
             size = 1 << log2
-            rows = [(t, s, ys, xs, okv) for (t, s, ys, xs, okv) in per_tu
-                    if t.log2 == log2]
+            rows = [r for r in per_tu if r[0].log2 == log2]
             if not rows:
                 continue
             rows.sort(key=lambda r: r[1])
@@ -215,9 +218,10 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
                      and _filter_flag(t.mode, size, p_idx) for t, *_ in rows], bool),
                 dc_edge=np.array(
                     [p_idx == 0 and size < 32 for t, *_ in rows], bool),
-                ref_ys=np.stack([np.concatenate([ys]) for _, _, ys, _, _ in rows]),
-                ref_xs=np.stack([xs for _, _, _, xs, _ in rows]),
-                ref_ok=np.stack([okv for _, _, _, _, okv in rows]),
+                ref_ys=np.stack([r[2] for r in rows]),
+                ref_xs=np.stack([r[3] for r in rows]),
+                ref_ok=np.stack([r[4] for r in rows]),
+                ok_scan=np.stack([r[5] for r in rows]),
             )
             pp.batches[log2] = b
         planes.append(pp)
