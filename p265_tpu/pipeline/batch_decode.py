@@ -98,8 +98,13 @@ def _pad_pow2_rows(a: np.ndarray) -> np.ndarray:
     return np.concatenate([a, rep])
 
 
-def _build_batch(tplans: list, plans: list):
-    """-> (blob, static_meta) for one batch of F same-resolution frames."""
+def _build_batch(tplans: list, plans: list, pscan: bool = False):
+    """-> (blob, static_meta) for one batch of F same-resolution frames.
+
+    pscan: pack the pallas-wavefront-only fields (okc/pos4) too; they are
+    only built (and uploaded) when the pallas scan path will actually run.
+    """
+    from p265_tpu.pipeline.wavefront import pallas_scan_ok, planeT_geometry
     F = len(tplans)
     sps = plans[0].sps
     H, W = sps.pic_height, sps.pic_width
@@ -108,7 +113,9 @@ def _build_batch(tplans: list, plans: list):
     pps_ = ([tp.planes[0] for tp in tplans] + [tp.planes[1] for tp in tplans]
             + [tp.planes[2] for tp in tplans])
     merged, offs = _merge_segments(pps_)
-    n_steps, stacked = _stack_plane(merged)
+    pscan_ok = (pscan and merged.inter_pred is None
+                and pallas_scan_ok(merged))
+    n_steps, stacked = _stack_plane(merged, pallas=pscan_ok)
     n_steps = _round_up(n_steps, 32)
 
     arrays = []
@@ -129,8 +136,8 @@ def _build_batch(tplans: list, plans: list):
                 if a.shape[0] < n_steps:
                     a = np.concatenate(
                         [a, np.zeros(n_steps - a.shape[0], a.dtype)])
-            elif f == "scale_m":
-                if "scale_m" not in d:
+            elif f in ("scale_m", "okc", "pos4"):
+                if f not in d:  # optional: scale_m, pallas-only fields
                     continue
                 a = _pad_pow2_rows(d[f])
             else:
@@ -139,7 +146,17 @@ def _build_batch(tplans: list, plans: list):
             arrays.append(a)
         tu_specs[log2] = fields
 
-    # filter parameter grids
+    # filter parameter grids.  The batch is filtered with ONE set of flags;
+    # heterogeneous batches must be split by the caller (mirrors the guard in
+    # loopfilter.loop_filters_tpu_frames).
+    def _fsig(p):
+        return (p.sh.deblocking_filter_disabled,
+                p.sps.sao_enabled and p.sh.sao_luma,
+                p.sps.sao_enabled and p.sh.sao_chroma)
+    sigs = {_fsig(p) for p in plans}
+    assert len(sigs) == 1, (
+        "decode_batch: frames with heterogeneous filter flags in one batch: "
+        f"{sigs}; split into homogeneous sub-batches")
     fp = {}
     deblock_on = not plans[0].sh.deblocking_filter_disabled
     if deblock_on:
@@ -192,8 +209,10 @@ def _build_batch(tplans: list, plans: list):
         fp["pred"] = len(arrays)
         arrays.append(np.clip(merged.inter_pred, 0, 255).astype(np.uint8))
 
-    from p265_tpu.pipeline.wavefront import planeT_geometry
-    _, _, _, _, tr, tl = planeT_geometry(merged)
+    if pscan_ok:
+        _, _, _, _, tr, tl = planeT_geometry(merged)
+    else:
+        tr = tl = 0
 
     blob, specs = _pack(arrays)
     sizes = tuple(sorted(merged.batches.keys()))
@@ -206,7 +225,7 @@ def _build_batch(tplans: list, plans: list):
         tu=tu_field_specs, fp=tuple(sorted(fp.items())),
         specs=specs, deblock=deblock_on, sao_luma=sao_luma,
         sao_chroma=sao_chroma, ctb=sps.ctb_size, has_masks=has_masks,
-        tr=tr, tl=tl, pscan_ok=merged.inter_pred is None,
+        tr=tr, tl=tl, pscan_ok=pscan_ok,
     )
     return blob, _freeze(meta)
 
@@ -297,7 +316,12 @@ def _decode_batch_jit(blob, meta, use_mxu: bool = True,
             luma.astype(jnp.uint8), chroma.astype(jnp.uint8))
 
 
-USE_PALLAS_SCAN = True  # pallas wavefront mega-kernel on accelerators
+# Pallas wavefront mega-kernel gate.  OFF by default: round-1's driver bench
+# crashed because this kernel, bit-exact in interpret mode, aborts in Mosaic
+# on the real chip (Check failed: limits[i] <= dim(i)); see VERDICT.md Weak#1.
+# It must pass an on-chip bit-exactness run (tests/test_tpu_smoke.py) before
+# being re-enabled.  The XLA scan path below is bit-exact on hardware.
+USE_PALLAS_SCAN = False
 
 
 def _pscan_default(interpret: bool):
@@ -308,9 +332,9 @@ def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
                         pscan: bool | None = None, interpret: bool = False):
     """F frame plans -> (pre_luma [F,H,W]u8, pre_chroma [2F]..., luma, chroma)
     device arrays via one upload + one dispatch."""
-    blob, meta = _build_batch(tplans, plans)
     if pscan is None:
         pscan = _pscan_default(interpret)
+    blob, meta = _build_batch(tplans, plans, pscan=pscan)
     return _decode_batch_jit(jnp.asarray(blob), meta, use_mxu, pscan,
                              interpret)
 

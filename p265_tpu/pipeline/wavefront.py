@@ -74,20 +74,31 @@ _BOOL_FIELDS = ("ref_ok", "filter_flag", "strong_allowed", "inter", "dc_edge",
                 "is_dst", "tskip", "bypass")
 
 
+def _segments_of(pp: PlanePlan):
+    offs = getattr(pp, "seg_offsets", None)
+    if offs is None:
+        return [0], [pp.shape[0]], [pp.shape[1]]
+    return offs, pp.seg_heights, pp.seg_widths
+
+
+def pallas_scan_ok(pp: PlanePlan) -> bool:
+    """True iff this plane's geometry fits the pallas wavefront kernel's
+    fixed 512-lane planeT scratch (kernels/pallas_wavefront.PW).  Wider
+    frames (anything over 472 luma pixels) take the XLA scan path."""
+    _, _, widths = _segments_of(pp)
+    return all(w + 40 <= 512 for w in widths)
+
+
 def planeT_geometry(pp: PlanePlan):
     """planeT (transposed-plane) geometry for the pallas wavefront kernel.
+
+    Only valid when pallas_scan_ok(pp); callers on the XLA path must not
+    call this (segments wider than 472 px do not fit the 512-lane scratch).
 
     Returns (offs, heights, widths, tb_table, tr, tl): per-segment row bases
     into the [tr, tl] transposed scratch (512 rows for wide segments, 256
     for chroma-width ones)."""
-    offs = getattr(pp, "seg_offsets", None)
-    if offs is None:
-        offs = [0]
-        heights = [pp.shape[0]]
-        widths = [pp.shape[1]]
-    else:
-        heights = pp.seg_heights
-        widths = pp.seg_widths
+    offs, heights, widths = _segments_of(pp)
     tb_table, tb = [], 0
     # RMW row window is [x & ~7, x + s + 8); blend lanes stop at yl + s
     for w in widths:
@@ -100,22 +111,29 @@ def planeT_geometry(pp: PlanePlan):
     return offs, heights, widths, tb_table, tb, tl
 
 
-def _stack_plane(pp: PlanePlan):
+def _stack_plane(pp: PlanePlan, pallas: bool | None = None):
     """Host: per-size COMPACT per-TU arrays + [n_steps, cap] gather maps.
 
     Every per-TU array carries one extra pad row at index n (scatters into
     the guard region / neutral values); idx_map points pad lanes there.
     Returns (n_steps, {log2: dict}) where each dict holds 'idx_map' plus the
     compact fields consumed by _run_plane_packed.  Cached on the PlanePlan.
+
+    pallas: also build the pallas-wavefront-only fields (okc / pos4), which
+    require the planeT geometry (only valid when pallas_scan_ok(pp)).
+    Default: build them iff the geometry allows it.
     """
+    if pallas is None:
+        pallas = pallas_scan_ok(pp)
     cached = getattr(pp, "_stacked_cache", None)
-    if cached is not None:
-        return cached
+    if cached is not None and (not pallas or cached[0]):
+        return cached[1], cached[2]
     n_steps = _round_up(max(pp.n_steps, 1), 8)
     ph, pw = pp.shape
-    offs, heights, widths, tb_table, _, _ = planeT_geometry(pp)
-    offs_a = np.asarray(offs)
-    tb_a = np.asarray(tb_table, np.int32)
+    if pallas:
+        offs, heights, widths, tb_table, _, _ = planeT_geometry(pp)
+        offs_a = np.asarray(offs)
+        tb_a = np.asarray(tb_table, np.int32)
     coord_dt = np.uint16 if max(ph + GUARD, pw) < 65000 else np.int32
     out = {}
     for log2, b in pp.batches.items():
@@ -132,23 +150,9 @@ def _stack_plane(pp: PlanePlan):
             return np.concatenate(
                 [a, np.full((1,) + a.shape[1:], fill, a.dtype)]).astype(dt)
 
-        # pallas-kernel fields: scan-ordered availability mask + extended
-        # positions (y, x, planeT row base, segment-local y)
-        size = 1 << log2
-        n2 = 2 * size
-        okp = 256 if size == 32 else 128
-        okc = np.zeros((n, okp), np.int8)
-        # RAW availability, already in spec scan order (frame_plan)
-        okc[:, :2 * n2 + 1] = b.ok_scan
-        seg = np.searchsorted(offs_a, b.pos[:, 0], side="right") - 1
-        pos4 = np.stack([b.pos[:, 0], b.pos[:, 1], tb_a[seg],
-                         b.pos[:, 0] - offs_a[seg]], axis=1).astype(np.int32)
-
         d = dict(
             counts=(starts[1:n_steps + 1]
                     - starts[:n_steps]).astype(np.int32),
-            okc=padded(okc, 0, np.int8),
-            pos4=padded(pos4, 0, np.int32),
             idx_map=idx_map.astype(np.int32),
             pos=padded(b.pos, 0, coord_dt),
             ref_ys=padded(b.ref_ys, 0, coord_dt),
@@ -168,8 +172,23 @@ def _stack_plane(pp: PlanePlan):
         d["pos"][n] = (ph, 0)  # pad TUs scatter into the guard region
         if b.scale_m is not None:
             d["scale_m"] = padded(b.scale_m, 16, np.uint8)
+        if pallas:
+            # pallas-kernel fields: scan-ordered availability mask + extended
+            # positions (y, x, planeT row base, segment-local y)
+            size = 1 << log2
+            n2 = 2 * size
+            okp = 256 if size == 32 else 128
+            okc = np.zeros((n, okp), np.int8)
+            # RAW availability, already in spec scan order (frame_plan)
+            okc[:, :2 * n2 + 1] = b.ok_scan
+            seg = np.searchsorted(offs_a, b.pos[:, 0], side="right") - 1
+            pos4 = np.stack([b.pos[:, 0], b.pos[:, 1], tb_a[seg],
+                             b.pos[:, 0] - offs_a[seg]],
+                            axis=1).astype(np.int32)
+            d["okc"] = padded(okc, 0, np.int8)
+            d["pos4"] = padded(pos4, 0, np.int32)
         out[log2] = d
-    pp._stacked_cache = (n_steps, out)
+    pp._stacked_cache = (pallas, n_steps, out)
     return n_steps, out
 
 
@@ -338,8 +357,9 @@ def _merge_segments(pps_: list):
 
 def reconstruct_tpu_scan_plane(pp, use_mxu: bool = True):
     """Run the scan for a single PlanePlan; returns the DEVICE plane [shape]."""
-    n_steps, stacked = _stack_plane(pp)
-    tu = {log2: {k: v for k, v in d.items() if k != "idx_map"}
+    n_steps, stacked = _stack_plane(pp, pallas=False)
+    tu = {log2: {k: v for k, v in d.items()
+                 if k not in ("idx_map", "okc", "pos4")}
           for log2, d in stacked.items()}
     idx_maps = {log2: d["idx_map"] for log2, d in stacked.items()}
     sizes = tuple(sorted(pp.batches.keys()))

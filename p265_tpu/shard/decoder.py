@@ -29,7 +29,8 @@ def _pad_stream_plane(pp, sizes, n_steps, caps, use_mxu):
     """Stacked step tensors + residuals for one stream's plane, padded to the
     fleet-common (sizes, n_steps, caps)."""
     ph, pw = pp.shape
-    own_steps, own = _stack_plane(pp) if pp.batches else (0, {})
+    own_steps, own = (_stack_plane(pp, pallas=False) if pp.batches
+                      else (0, {}))
     stacked = {}
     residuals = {}
     for log2 in sizes:
@@ -95,7 +96,7 @@ def sharded_multistream_recon(tplans: list, mesh: Mesh, axis: str = "stream",
         caps = {}
         for pp in pps_:
             if pp.batches:
-                ns, st = _stack_plane(pp)
+                ns, st = _stack_plane(pp, pallas=False)
                 n_steps = max(n_steps, ns)
                 for log2, d in st.items():
                     caps[log2] = max(caps.get(log2, 8), d["pos"].shape[1])
