@@ -53,7 +53,12 @@ class DecoderBase:
     """
 
     def __init__(self, apply_filters: bool = True,
-                 error_resilient: bool = False, use_native_cabac: bool = True):
+                 error_resilient: bool = False, use_native_cabac: bool = True,
+                 use_native_parse: bool = False):
+        # use_native_parse: whole-CTU parse in C (native/ctu.c) emitting the
+        # tensor-plan buckets directly; only for pipelines that reconstruct
+        # from tensor plans (the golden scalar recon needs plan.tus).
+        self.use_native_parse = use_native_parse
         self.sps_map = {}
         self.pps_map = {}
         self.apply_filters = apply_filters
@@ -187,6 +192,8 @@ class DecoderBase:
                                  col_lt=col_lt)
             plan = FramePlan(sps, pps, sh)
             plan.alloc_maps()
+            plan.use_native_parse = (self.use_native_parse
+                                     and self.use_native_cabac)
             plan.poc = poc
             plan.l0_pocs = [p.poc for p in l0]
             plan.l1_pocs = [p.poc for p in l1]
@@ -254,6 +261,9 @@ class DecoderBase:
                              f"{pic_st['ctbs']}/{pic_st['sps'].num_ctbs} CTUs")
         plan, mctx, sps = pic_st["plan"], pic_st["mctx"], pic_st["sps"]
         poc = pic_st["poc"]
+        ns = getattr(plan, "nstate", None)
+        if ns is not None:
+            ns.finalize(plan)  # convert native SAO records
         t1 = _time.perf_counter()
         refs = {p.poc: p.planes for p in self.dpb.pics if p.is_reference}
         prefilter = self._reconstruct(plan, refs)
@@ -266,7 +276,7 @@ class DecoderBase:
         self.stats["recon_s"] += t2 - t1
         self.stats["filter_s"] += t3 - t2
         self.stats["slice_bytes"] += pic_st["bytes"]
-        self.stats["tus"] += len(plan.tus)
+        self.stats["tus"] += ns.total_tus() if ns is not None else len(plan.tus)
         self.stats["ctbs"] += sps.num_ctbs
 
         frame = DecodedFrame(poc, planes, prefilter, plan)

@@ -17,6 +17,7 @@ from p265_tpu.tables import CTX_OFFSET, NUM_CTX, init_context_array
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "cabac.c")
+_SRC_CTU = os.path.join(_DIR, "ctu.c")  # includes cabac.c (single TU)
 _SO = os.path.join(_DIR, "_cabac.so")
 
 _lib = None
@@ -43,10 +44,12 @@ class _CtxOffsets(ctypes.Structure):
 
 def _build() -> bool:
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        src = _SRC_CTU if os.path.exists(_SRC_CTU) else _SRC
+        newest = max(os.path.getmtime(p) for p in (_SRC, _SRC_CTU)
+                     if os.path.exists(p))
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
             subprocess.run(
-                ["cc", "-O3", "-fPIC", "-shared", "-o", _SO, _SRC],
+                ["cc", "-O3", "-fPIC", "-shared", "-o", _SO, src],
                 check=True, capture_output=True)
         return True
     except Exception:

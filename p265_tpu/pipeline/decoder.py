@@ -16,8 +16,9 @@ class TpuDecoder(DecoderBase):
     """Annex-B stream -> YUV frames via the TPU reconstruction path."""
 
     def __init__(self, use_mxu: bool = True, apply_filters: bool = True,
-                 filters_on_device: bool = True):
-        super().__init__(apply_filters=apply_filters)
+                 filters_on_device: bool = True, use_native_parse: bool = True):
+        super().__init__(apply_filters=apply_filters,
+                         use_native_parse=use_native_parse)
         self.use_mxu = use_mxu
         self.filters_on_device = filters_on_device
 

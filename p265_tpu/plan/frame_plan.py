@@ -98,6 +98,11 @@ def _expand_large(tus):
 
 def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
                       device_mc: bool = False) -> TensorPlan:
+    ns = getattr(plan, "nstate", None)
+    if ns is not None:
+        # native Stage-A parse already emitted the bucketed records
+        assert not plan.tus, "mixed native/python parse in one picture"
+        return ns.tensor_plan(plan)
     sps = plan.sps
     w, h = sps.pic_width, sps.pic_height
     shapes = [(h, w), (h >> 1, w >> 1), (h >> 1, w >> 1)]

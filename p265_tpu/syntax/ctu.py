@@ -297,9 +297,25 @@ class CtuCoder:
         else:
             self._tu_iter = iter(plan.tus) if is_enc else None
             self._pu_iter = iter(plan.pus) if is_enc else None
+        # native Stage-A fast lane: the whole CTU (SAO + quadtree + residual)
+        # parses in one C call when the slice qualifies (I slice, no PCM) and
+        # the caller opted in; segment/WPP orchestration stays here.
+        self.native = None
+        if not is_enc and getattr(plan, "use_native_parse", False):
+            from p265_tpu import native as native_mod
+            from p265_tpu.native import parse as nparse
+            if (nparse.supports(sps, pps, sh)
+                    and isinstance(self.engine, native_mod.NativeCabacDecoder)):
+                ns = getattr(plan, "nstate", None)
+                if ns is None:
+                    ns = nparse.NativeParseState(sps, pps)
+                    plan.nstate = ns
+                ns.begin_slice(sps, pps, sh, plan, self.avail, slice_idx)
+                self.native = ns
         # plan.sao is raster-indexed (length num_ctbs); decode pre-allocates
         # once per picture (multi-slice pictures share the list)
-        if not is_enc and len(plan.sao) != sps.num_ctbs:
+        if not is_enc and self.native is None \
+                and len(plan.sao) != sps.num_ctbs:
             plan.sao = [SaoRec() for _ in range(sps.num_ctbs)]
 
     # -- helpers -------------------------------------------------------------
@@ -367,6 +383,8 @@ class CtuCoder:
             if not seg:
                 continue
             self.qps.start_segment(self.sh.slice_qp)
+            if self.native is not None:
+                self.native.start_segment(self.sh.slice_qp)
             first_of_slice = local_seg == 0
             if not first_of_slice:
                 assert self.substreams is not None, "need entry points"
@@ -398,15 +416,28 @@ class CtuCoder:
                 # tile context reset wins over the dependent-segment restore
                 ctx.reinit(self.sh.init_type(), self.sh.slice_qp)
             local_seg += 1
+            do_sao = sps.sao_enabled and (self.sh.sao_luma
+                                          or self.sh.sao_chroma)
             for addr in seg:
                 xc = (addr % wc) << sps.log2_ctb_size
                 yc = (addr // wc) << sps.log2_ctb_size
                 self.cur_tile = int(ti.tile_of_ctb[addr])
+                if self.native is not None:
+                    # one C call: SAO + quadtree + residuals + terminate
+                    term = self.native.parse_ctu(self.engine, addr,
+                                                 self.cur_tile, do_sao)
+                    if ti.wpp and (addr % wc) == 1:
+                        wpp_snapshots[addr // wc] = ctx.snapshot()
+                    coded += 1
+                    if term:
+                        done = True
+                        break
+                    continue
                 self.plan.slice_of_ctb[addr] = self.slice_idx
                 if not self.is_enc and self.plan.tile_tu_starts is not None:
                     if seg_idx > 0 and addr == seg[0] and not ti.wpp:
                         self.plan.tile_tu_starts.append(len(self.plan.tus))
-                if sps.sao_enabled and (self.sh.sao_luma or self.sh.sao_chroma):
+                if do_sao:
                     self._code_sao(addr)
                 self._coding_quadtree(xc, yc, sps.log2_ctb_size, 0)
                 if ti.wpp and (addr % wc) == 1:
