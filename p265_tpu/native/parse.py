@@ -273,7 +273,12 @@ class NativeParseState:
         return sum(self._bk[i].count for i in range(12))
 
     def finalize(self, plan) -> None:
-        """Convert the native SAO array into plan.sao SaoRec records."""
+        """Convert the native SAO array into plan.sao SaoRec records.
+        Idempotent: callers on both the sequential and pipelined paths may
+        invoke it before using plan.sao."""
+        if getattr(self, "_finalized", False):
+            return
+        self._finalized = True
         from p265_tpu.syntax.ctu import SaoRec
         rec = self.sao.reshape(-1, 20)
         out = []

@@ -389,16 +389,22 @@ class CtuCoder:
             if not first_of_slice:
                 assert self.substreams is not None, "need entry points"
                 self._switch_engine(local_seg)
-            if ti.wpp and seg[0] % wc == 0 and not (
+            seg_tile = int(ti.tile_of_ctb[seg[0]])
+            n_cols = len(ti.col_widths)
+            tile_w = ti.col_widths[seg_tile % n_cols]
+            tile_row0 = ti.row_bounds[seg_tile // n_cols]
+            # WPP snapshot point: 2nd CTU of this tile-row (spec 9.3.1)
+            wpp_snap_addr = full_seg_start + 1 if ti.wpp else -1
+            if ti.wpp and seg[0] == full_seg_start and not (
                     first_of_slice and self.sh.first_slice_in_pic):
-                # CTU-row start: restore the row-above snapshot when the
-                # sync source CTB (above-right) is in the same slice
+                # tile-row start: restore the row-above snapshot (same tile)
+                # when the sync source CTB (above-right) is in the same slice
                 # (spec 9.3.1); otherwise contexts re-initialize -- except
                 # for a dependent segment's own first substream, which
                 # keeps the carried end-of-previous-segment state
                 row = seg[0] // wc
-                snap = wpp_snapshots.get(row - 1)
-                src_ok = (wc > 1 and snap is not None and row > 0
+                snap = wpp_snapshots.get((seg_tile, row - 1))
+                src_ok = (tile_w > 1 and snap is not None and row > tile_row0
                           and self.plan.slice_of_ctb[seg[0] - wc + 1]
                           == self.slice_idx)
                 if src_ok:
@@ -426,8 +432,8 @@ class CtuCoder:
                     # one C call: SAO + quadtree + residuals + terminate
                     term = self.native.parse_ctu(self.engine, addr,
                                                  self.cur_tile, do_sao)
-                    if ti.wpp and (addr % wc) == 1:
-                        wpp_snapshots[addr // wc] = ctx.snapshot()
+                    if addr == wpp_snap_addr:
+                        wpp_snapshots[(seg_tile, addr // wc)] = ctx.snapshot()
                     coded += 1
                     if term:
                         done = True
@@ -440,8 +446,8 @@ class CtuCoder:
                 if do_sao:
                     self._code_sao(addr)
                 self._coding_quadtree(xc, yc, sps.log2_ctb_size, 0)
-                if ti.wpp and (addr % wc) == 1:
-                    wpp_snapshots[addr // wc] = ctx.snapshot()
+                if addr == wpp_snap_addr:
+                    wpp_snapshots[(seg_tile, addr // wc)] = ctx.snapshot()
                 coded += 1
                 if self.is_enc:
                     last = addr == last_addr

@@ -76,8 +76,15 @@ def build_tile_info(sps: SPS, pps: PPS) -> TileInfo:
             segments.append(seg)
     wpp = pps.entropy_coding_sync_enabled
     if wpp:
-        assert not pps.tiles_enabled, "tiles+WPP combination not supported yet"
-        segments = [[y * wc + x for x in range(wc)] for y in range(hc)]
+        # one substream per CTB row of each tile (spec 7.4.7.1: with both
+        # tiles and entropy_coding_sync enabled, substreams are the rows
+        # within each tile, in tile decode order)
+        segments = []
+        for ri in range(len(rh)):
+            for ci in range(len(cw)):
+                for y in range(rb[ri], rb[ri + 1]):
+                    segments.append([y * wc + x
+                                     for x in range(cb[ci], cb[ci + 1])])
     elif not pps.tiles_enabled:
         segments = [scan]
     return TileInfo(cw, rh, cb, rb, scan, tile_of, segments, wpp)

@@ -72,3 +72,41 @@ def test_tiles_p_no_crosstile_filter():
     for f in gold:
         for c in range(3):
             assert np.array_equal(f.planes[c], recons[f.poc][c])
+
+
+def test_tiles_plus_wpp_intra():
+    """Both tiles and entropy_coding_sync enabled (legal Main-profile combo,
+    spec 7.4.7.1): substreams are the CTB rows within each tile; WPP context
+    sync restores the row-above snapshot of the SAME tile."""
+    sps = SPS(pic_width=256, pic_height=128)
+    pps = PPS(init_qp=31, sign_data_hiding=True, tiles_enabled=True,
+              num_tile_columns=2, num_tile_rows=1,
+              entropy_coding_sync_enabled=True)
+    img = make_test_image(256, 128, 8)
+    stream, plan, rec = IntraEncoder(sps, pps, qp=31, seed=8).encode_frame(img)
+    g = GoldenDecoder().decode_stream(stream)[0]
+    # 2 tiles x 2 CTB rows = 4 substreams -> 3 entry points
+    assert len(g.plan.sh.entry_point_offsets) == 3
+    for c in range(3):
+        assert np.array_equal(g.prefilter[c], rec[c])
+    t = TpuDecoder().decode_stream(stream)[0]
+    for c in range(3):
+        assert np.array_equal(np.asarray(t.planes[c]), g.planes[c])
+
+
+def test_tiles_plus_wpp_p_frames():
+    sps = SPS(pic_width=256, pic_height=192, temporal_mvp_enabled=True)
+    pps = PPS(init_qp=33, sign_data_hiding=True, tiles_enabled=True,
+              num_tile_columns=2, num_tile_rows=2,
+              entropy_coding_sync_enabled=True)
+    frames = make_moving_sequence(256, 192, 3, seed=15)
+    stream, recons = Encoder(sps, pps, qp=33, seed=15).encode_sequence(frames)
+    gold = GoldenDecoder().decode_stream(stream)
+    assert len(gold) == 3
+    for f in gold:
+        for c in range(3):
+            assert np.array_equal(f.planes[c], recons[f.poc][c])
+    tpu = TpuDecoder().decode_stream(stream)
+    for t, g in zip(tpu, gold):
+        for c in range(3):
+            assert np.array_equal(np.asarray(t.planes[c]), g.planes[c])
