@@ -55,7 +55,7 @@ def _cmd_encode(args):
     sps = SPS(pic_width=w, pic_height=h,
               temporal_mvp_enabled=args.gop != "AI",
               long_term_ref_pics_present=args.gop == "LDP-LT",
-              num_reorder_pics=2 if args.gop == "RA" else 0,
+              num_reorder_pics=2 if args.gop in ("RA", "CRA-RASL") else 0,
               max_dec_pic_buffering=5)
     tiles = None
     pps = PPS(init_qp=args.qp, sign_data_hiding=True)
@@ -140,7 +140,8 @@ def main(argv=None):
     e.add_argument("--size", required=True, help="WxH")
     e.add_argument("--qp", type=int, default=32)
     e.add_argument("--frames", type=int, default=5)
-    e.add_argument("--gop", choices=("AI", "LDP", "LDP2", "LDP-LT", "RA"),
+    e.add_argument("--gop", choices=("AI", "LDP", "LDP2", "LDP-LT", "RA",
+                                     "CRA-RASL"),
                    default="LDP")
     e.add_argument("--tiles", help="CxR tile grid")
     e.add_argument("--wpp", action="store_true")

@@ -38,9 +38,15 @@ class DPB:
         self.outputs: list[Picture] = []
 
     # -- POC (8.3.1) ---------------------------------------------------------
-    def compute_poc(self, sh: SliceHeader, temporal_id: int = 0) -> int:
+    def compute_poc(self, sh: SliceHeader, temporal_id: int = 0,
+                    no_rasl_output: bool = False) -> int:
+        """no_rasl_output: NoRaslOutputFlag of the current picture (spec
+        8.3.1: an IRAP with NoRaslOutputFlag==1 gets PicOrderCntMsb = 0 --
+        BLA pictures always, CRA when it starts the decode)."""
         if sh.is_idr():
             poc = 0
+        elif no_rasl_output and sh.is_irap():
+            poc = sh.pic_order_cnt_lsb
         else:
             max_lsb = self.sps.max_poc_lsb
             prev = self.prev_poc_tid0
@@ -54,19 +60,32 @@ class DPB:
             else:
                 msb = prev_msb
             poc = msb + lsb
-        if temporal_id == 0:
+        # prevTid0Pic (8.3.1): previous tid-0 picture that is not RASL, RADL,
+        # or a sub-layer non-reference picture
+        t = sh.nal_type
+        is_leading = 6 <= t <= 9          # RADL_N/R, RASL_N/R
+        is_slnr = t < 16 and (t & 1) == 0  # *_N sub-layer non-reference
+        if temporal_id == 0 and not is_leading and not is_slnr:
             self.prev_poc_tid0 = poc
         return poc
 
     # -- RPS (8.3.2) ---------------------------------------------------------
-    def apply_rps(self, sh: SliceHeader, poc: int) -> None:
-        if sh.is_idr():
+    def apply_rps(self, sh: SliceHeader, poc: int,
+                  no_rasl_output: bool = False) -> None:
+        """no_rasl_output: spec 8.3.2 -- when the current picture is an IRAP
+        with NoRaslOutputFlag==1 (IDR, BLA, or CRA starting the decode), all
+        reference pictures currently in the DPB are marked unused; prior
+        pictures are bumped out (or dropped if no_output_of_prior_pics)."""
+        if sh.is_idr() or (no_rasl_output and sh.is_irap()):
             for p in self.pics:
                 p.is_reference = False
             self._flush_unneeded(bump_all=not sh.no_output_of_prior_pics)
             if sh.no_output_of_prior_pics:
                 self.pics.clear()
-            return
+            if sh.is_idr():
+                return
+            # BLA / CRA-start still carries an RPS, but it can no longer
+            # match anything: fall through with an empty DPB reference set.
         rps = self._slice_rps(sh)
         keep = set()
         for d, used in zip(rps.delta_poc_s0 + rps.delta_poc_s1,

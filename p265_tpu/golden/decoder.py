@@ -67,6 +67,11 @@ class DecoderBase:
         self.dpb: DPB | None = None
         self._decoded: list[DecodedFrame] = []
         self._skip_until_irap = False
+        # CRA/BLA leading-picture state (spec 8.1.3): the first picture of
+        # the decode (or after EOS) has NoRaslOutputFlag=1, as do all BLA
+        # pictures; RASL pictures associated with such an IRAP are discarded.
+        self._first_pic_in_seq = True
+        self._discard_rasl = False
         self._pic = None
         self.errors: list[str] = []
         self.stats = {"frames": 0, "parse_s": 0.0, "recon_s": 0.0,
@@ -93,11 +98,18 @@ class DecoderBase:
         elif t == nal.NAL_PPS:
             p = parse_pps(unit.rbsp)
             self.pps_map[p.pps_id] = p
+        elif t == nal.NAL_EOS:
+            # end of sequence: the next IRAP starts a new decode (its RASL
+            # pictures, if CRA, are not decodable -- spec 7.4.2.2)
+            self._first_pic_in_seq = True
         elif nal.is_slice_nal(t):
             if self._skip_until_irap and not nal.is_irap(t):
                 return
             if nal.is_irap(t):
                 self._skip_until_irap = False
+            if (t in (nal.NAL_RASL_N, nal.NAL_RASL_R)
+                    and self._discard_rasl):
+                return  # RASL of a CRA-start/BLA: refs precede the splice
             if self.error_resilient:
                 try:
                     self._decode_slice(unit)
@@ -116,6 +128,8 @@ class DecoderBase:
             "pps_map": copy.deepcopy(self.pps_map),
             "dpb": copy.deepcopy(self.dpb),
             "skip": self._skip_until_irap,
+            "first_pic": self._first_pic_in_seq,
+            "discard_rasl": self._discard_rasl,
         }
 
     def load_state(self, state: dict) -> None:
@@ -124,6 +138,8 @@ class DecoderBase:
         self.pps_map = copy.deepcopy(state["pps_map"])
         self.dpb = copy.deepcopy(state["dpb"])
         self._skip_until_irap = state["skip"]
+        self._first_pic_in_seq = state.get("first_pic", False)
+        self._discard_rasl = state.get("discard_rasl", False)
 
     def write_metrics(self, path: str) -> None:
         import json
@@ -167,8 +183,18 @@ class DecoderBase:
                 if not self.error_resilient:
                     raise
                 self.errors.append(f"incomplete picture dropped: {e!r}")
-            poc = self.dpb.compute_poc(sh, unit.temporal_id)
-            self.dpb.apply_rps(sh, poc)
+            t = unit.nal_type
+            is_bla = t in (nal.NAL_BLA_W_LP, nal.NAL_BLA_W_RADL,
+                           nal.NAL_BLA_N_LP)
+            no_rasl = nal.is_irap(t) and (
+                nal.is_idr(t) or is_bla or self._first_pic_in_seq)
+            if nal.is_irap(t):
+                # RASL pictures are associated with the most recent CRA/BLA
+                self._discard_rasl = no_rasl and not nal.is_idr(t)
+            self._first_pic_in_seq = False
+            poc = self.dpb.compute_poc(sh, unit.temporal_id,
+                                       no_rasl_output=no_rasl)
+            self.dpb.apply_rps(sh, poc, no_rasl_output=no_rasl)
             l0, l1 = self.dpb.build_ref_lists(sh, poc)
             mctx = None
             if sh.slice_type != SLICE_I:

@@ -126,7 +126,8 @@ class Encoder:
                      keep_pocs: list[int] | None = None,
                      n_ref: tuple[int, int] = (1, 1), num_slices: int = 1,
                      dependent_slices: bool = False,
-                     lt_pocs: list[int] | None = None):
+                     lt_pocs: list[int] | None = None,
+                     nal_type: int | None = None):
         """Encode one frame -> (nal_bytes, plan, prefilter_recon, filtered).
 
         used_pocs: reference POCs for this picture; keep_pocs: POCs that must
@@ -165,13 +166,17 @@ class Encoder:
                       np.zeros(((ch + 3) >> 2, (cw + 3) >> 2), bool),
                       np.zeros(((ch + 3) >> 2, (cw + 3) >> 2), bool)]
 
-        is_idr = slice_type == SLICE_I
+        if nal_type is None:
+            nal_type = (nal.NAL_IDR_W_RADL if slice_type == SLICE_I
+                        else nal.NAL_TRAIL_R)
+        is_idr = nal.is_idr(nal_type)
         sh = SliceHeader(
-            nal_type=nal.NAL_IDR_W_RADL if is_idr else nal.NAL_TRAIL_R,
+            nal_type=nal_type,
             slice_type=slice_type, slice_qp=self.qp,
             sao_luma=sps.sao_enabled, sao_chroma=sps.sao_enabled,
             pic_order_cnt_lsb=poc & (sps.max_poc_lsb - 1),
-            temporal_mvp_enabled=(sps.temporal_mvp_enabled and not is_idr))
+            temporal_mvp_enabled=(sps.temporal_mvp_enabled
+                                  and slice_type != SLICE_I))
         sh.deblocking_filter_disabled = pps.deblocking_filter_disabled
         sh.beta_offset_div2 = pps.beta_offset_div2
         sh.tc_offset_div2 = pps.tc_offset_div2
@@ -433,6 +438,51 @@ class Encoder:
                         out += nb
                         recons[poc_b] = filt
                 base = anchor
+        elif structure == "CRA-RASL":
+            # open-GOP splice shape (spec 8.1.3): IDR(0), P(1), then a CRA at
+            # POC 4 whose leading pictures 2,3 are RASL B-frames referencing
+            # the pre-CRA picture 1 -- decodable only when decode starts at
+            # the IDR; discarded when decode starts at the CRA (or when the
+            # CRA is rewritten to BLA).  Trailing P frames reference only the
+            # CRA, keeping it a clean random-access point.
+            assert len(frames) >= 6, "CRA-RASL needs >= 6 frames"
+            nb, _, _, filt = self.encode_frame(
+                frames[0], poc=0, slice_type=SLICE_I, num_slices=num_slices)
+            out += nb
+            recons[0] = filt
+            nb, _, _, filt = self.encode_frame(
+                frames[1], poc=1, slice_type=SLICE_P, used_pocs=[0],
+                n_ref=(1, 0), num_slices=num_slices)
+            out += nb
+            recons[1] = filt
+            # CRA at poc 4: empty "curr" RPS, but keeps poc 1 for the RASLs
+            nb, _, _, filt = self.encode_frame(
+                frames[4], poc=4, slice_type=SLICE_I, keep_pocs=[1],
+                nal_type=nal.NAL_CRA, num_slices=num_slices)
+            out += nb
+            recons[4] = filt
+            # leading pictures: RASL first (may reference pre-CRA pic 1),
+            # then RADL (references only the CRA -- always decodable); RASL
+            # precedes RADL in decode order per spec 7.4.2.2
+            nb, _, _, filt = self.encode_frame(
+                frames[2], poc=2, slice_type=SLICE_B, used_pocs=[1, 4],
+                n_ref=(1, 1), nal_type=nal.NAL_RASL_R,
+                num_slices=num_slices)
+            out += nb
+            recons[2] = filt
+            nb, _, _, filt = self.encode_frame(
+                frames[3], poc=3, slice_type=SLICE_P, used_pocs=[4],
+                n_ref=(1, 0), nal_type=nal.NAL_RADL_R,
+                num_slices=num_slices)
+            out += nb
+            recons[3] = filt
+            for poc_t in range(5, len(frames)):  # trailing, CRA-anchored
+                nb, _, _, filt = self.encode_frame(
+                    frames[poc_t], poc=poc_t, slice_type=SLICE_P,
+                    used_pocs=[poc_t - 1 if poc_t > 5 else 4], n_ref=(1, 0),
+                    num_slices=num_slices)
+                out += nb
+                recons[poc_t] = filt
         else:
             raise ValueError(structure)
         return out, [recons[i] for i in sorted(recons)]
