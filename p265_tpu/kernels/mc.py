@@ -73,6 +73,82 @@ def _combine(p0, p1, has_l1, w_params):
     return jnp.where(has_l1[:, None, None], bi, uni)
 
 
+def mc_block_arrays(plan, c: int, poc_index: dict):
+    """Host: flatten all inter PUs of component c into fixed-size MC block
+    arrays (the device kernel's input layout).
+
+    Returns None when the plane has no inter blocks, else a dict with
+    pos [n,2], r0/r1 [n], mv0/mv1 [n,2], has1 [n], f0/f1 [n,2,taps] and
+    wp (None or 5 [n] arrays: w0, o0, w1, o1, log2_wd)."""
+    block = BL if c == 0 else BC
+    taps = 8 if c == 0 else 4
+    filt = LUMA_FILTER if c == 0 else CHROMA_FILTER
+    fmask = 3 if c == 0 else 7
+    wt = None
+    if ((plan.pps.weighted_pred and plan.sh.slice_type == 1)
+            or (plan.pps.weighted_bipred and plan.sh.slice_type == 0)):
+        wt = plan.sh.pred_weights
+    blocks = []   # (y, x, motion, wp entries)
+    for pu in plan.pus:
+        m = pu.motion
+        x0, y0 = (pu.x, pu.y) if c == 0 else (pu.x >> 1, pu.y >> 1)
+        pw, ph_ = (pu.w, pu.h) if c == 0 else (pu.w >> 1, pu.h >> 1)
+        ents = None
+        if wt is not None:
+            ents = [wt.get(lx, m.ref_idx[lx]) if m.uses(lx) else None
+                    for lx in range(2)]
+        for by in range(y0, y0 + ph_, block):
+            for bx in range(x0, x0 + pw, block):
+                blocks.append((by, bx, m, ents))
+    if not blocks:
+        return None
+    n = len(blocks)
+    pos = np.array([[b[0], b[1]] for b in blocks], np.int32)
+    r0 = np.zeros(n, np.int32)
+    r1 = np.zeros(n, np.int32)
+    mv0 = np.zeros((n, 2), np.int32)
+    mv1 = np.zeros((n, 2), np.int32)
+    has1 = np.zeros(n, bool)
+    f0 = np.zeros((n, 2, taps), np.int32)
+    f1 = np.zeros((n, 2, taps), np.int32)
+    wp = None
+    if wt is not None:
+        wp = [np.zeros(n, np.int32) for _ in range(4)] + [
+            np.full(n, (wt.luma_log2_denom if c == 0
+                        else wt.chroma_log2_denom)
+                    + (14 - BIT_DEPTH) - 6, np.int32)]
+    for i, (by, bx, m, ents) in enumerate(blocks):
+        lanes = [lx for lx in range(2) if m.uses(lx)]
+        l0 = lanes[0]
+        r0[i] = poc_index[m.ref_poc[l0]]
+        mv0[i] = m.mv[l0]
+        f0[i, 0] = filt[m.mv[l0][0] & fmask]
+        f0[i, 1] = filt[m.mv[l0][1] & fmask]
+        if len(lanes) == 2:
+            has1[i] = True
+            r1[i] = poc_index[m.ref_poc[1]]
+            mv1[i] = m.mv[1]
+            f1[i, 0] = filt[m.mv[1][0] & fmask]
+            f1[i, 1] = filt[m.mv[1][1] & fmask]
+        if wp is not None:
+            comp_off = 0 if c == 0 else (2 * c)
+            e0 = ents[l0]
+            wp[0][i], wp[1][i] = e0[comp_off], e0[comp_off + 1]
+            if len(lanes) == 2:
+                e1 = ents[1]
+                wp[2][i], wp[3][i] = e1[comp_off], e1[comp_off + 1]
+    return dict(pos=pos, r0=r0, r1=r1, mv0=mv0, mv1=mv1, has1=has1,
+                f0=f0, f1=f1, wp=wp, block=block, taps=taps)
+
+
+def stamp_pcm(plan, out: list) -> None:
+    """Overwrite PCM CU pixels with their parsed sample levels (host)."""
+    for t in plan.tus:
+        if t.pcm:
+            sz = 1 << t.log2
+            out[t.c_idx][t.y:t.y + sz, t.x:t.x + sz] = t.levels
+
+
 def build_inter_pred_device(plan, refs: dict):
     """Device-side MC prediction planes (same contract as golden
     build_inter_pred); PCM blocks are still stamped on the host."""
@@ -81,88 +157,33 @@ def build_inter_pred_device(plan, refs: dict):
         return None
     sps = plan.sps
     w, h = sps.pic_width, sps.pic_height
-    wt = None
-    if ((plan.pps.weighted_pred and plan.sh.slice_type == 1)
-            or (plan.pps.weighted_bipred and plan.sh.slice_type == 0)):
-        wt = plan.sh.pred_weights
-
     poc_list = sorted(refs.keys())
     poc_index = {p: i for i, p in enumerate(poc_list)}
     out = []
     for c in range(3):
         shape = (h, w) if c == 0 else (h >> 1, w >> 1)
-        block = BL if c == 0 else BC
-        taps = 8 if c == 0 else 4
-        filt = LUMA_FILTER if c == 0 else CHROMA_FILTER
-        fmask = 3 if c == 0 else 7
-        blocks = []   # (y, x, ref_i0, mv0, ref_i1|-1, mv1, wparams)
-        for pu in plan.pus:
-            m = pu.motion
-            x0, y0 = (pu.x, pu.y) if c == 0 else (pu.x >> 1, pu.y >> 1)
-            pw, ph_ = (pu.w, pu.h) if c == 0 else (pu.w >> 1, pu.h >> 1)
-            ents = None
-            if wt is not None:
-                ents = [wt.get(lx, m.ref_idx[lx]) if m.uses(lx) else None
-                        for lx in range(2)]
-            for by in range(y0, y0 + ph_, block):
-                for bx in range(x0, x0 + pw, block):
-                    blocks.append((by, bx, m, ents))
-        if not blocks:
+        ba = mc_block_arrays(plan, c, poc_index)
+        if ba is None:
             out.append(np.zeros(shape, np.int32))
             continue
-        n = len(blocks)
-        pos = np.array([[b[0], b[1]] for b in blocks], np.int32)
-        r0 = np.zeros(n, np.int32)
-        r1 = np.zeros(n, np.int32)
-        mv0 = np.zeros((n, 2), np.int32)
-        mv1 = np.zeros((n, 2), np.int32)
-        has1 = np.zeros(n, bool)
-        f0 = np.zeros((n, 2, taps), np.int32)
-        f1 = np.zeros((n, 2, taps), np.int32)
-        wp = None
-        if wt is not None:
-            wp = [np.zeros(n, np.int32) for _ in range(4)] + [
-                np.full(n, (wt.luma_log2_denom if c == 0
-                            else wt.chroma_log2_denom)
-                        + (14 - BIT_DEPTH) - 6, np.int32)]
-        for i, (by, bx, m, ents) in enumerate(blocks):
-            lanes = [lx for lx in range(2) if m.uses(lx)]
-            l0 = lanes[0]
-            r0[i] = poc_index[m.ref_poc[l0]]
-            mv0[i] = m.mv[l0]
-            f0[i, 0] = filt[m.mv[l0][0] & fmask]
-            f0[i, 1] = filt[m.mv[l0][1] & fmask]
-            if len(lanes) == 2:
-                has1[i] = True
-                r1[i] = poc_index[m.ref_poc[1]]
-                mv1[i] = m.mv[1]
-                f1[i, 0] = filt[m.mv[1][0] & fmask]
-                f1[i, 1] = filt[m.mv[1][1] & fmask]
-            if wp is not None:
-                comp_off = 0 if c == 0 else (2 * c)
-                e0 = ents[l0]
-                wp[0][i], wp[1][i] = e0[comp_off], e0[comp_off + 1]
-                if len(lanes) == 2:
-                    e1 = ents[1]
-                    wp[2][i], wp[3][i] = e1[comp_off], e1[comp_off + 1]
+        block, taps = ba["block"], ba["taps"]
+        pos = ba["pos"]
         ref_stack = np.stack([np.asarray(refs[p][c], np.int32)
                               for p in poc_list])
         p0 = _mc_blocks(jnp.asarray(ref_stack), jnp.asarray(pos),
-                        jnp.asarray(r0), jnp.asarray(mv0), jnp.asarray(f0),
-                        block, taps, len(poc_list))
+                        jnp.asarray(ba["r0"]), jnp.asarray(ba["mv0"]),
+                        jnp.asarray(ba["f0"]), block, taps, len(poc_list))
         p1 = _mc_blocks(jnp.asarray(ref_stack), jnp.asarray(pos),
-                        jnp.asarray(r1), jnp.asarray(mv1), jnp.asarray(f1),
-                        block, taps, len(poc_list))
+                        jnp.asarray(ba["r1"]), jnp.asarray(ba["mv1"]),
+                        jnp.asarray(ba["f1"]), block, taps, len(poc_list))
         wparams = None
-        if wp is not None:
-            wparams = tuple(jnp.asarray(a) for a in wp)
-        samp = _combine(p0, p1, jnp.asarray(has1), wparams)
+        if ba["wp"] is not None:
+            wparams = tuple(jnp.asarray(a) for a in ba["wp"])
+        samp = _combine(p0, p1, jnp.asarray(ba["has1"]), wparams)
         plane = jnp.zeros(shape, jnp.int32)
         rows = pos[:, 0][:, None, None] + np.arange(block)[None, :, None]
         cols = pos[:, 1][:, None, None] + np.arange(block)[None, None, :]
         plane = plane.at[jnp.asarray(rows), jnp.asarray(cols)].set(samp)
         out.append(np.asarray(plane))
-    for t in pcm_tus:
-        sz = 1 << t.log2
-        out[t.c_idx][t.y:t.y + sz, t.x:t.x + sz] = t.levels
+    stamp_pcm(plan, out)
     return out

@@ -97,17 +97,19 @@ def _expand_large(tus):
 
 
 def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
-                      device_mc: bool = False) -> TensorPlan:
+                      device_mc: bool = False,
+                      pred_planes: list | None = None) -> TensorPlan:
     ns = getattr(plan, "nstate", None)
     if ns is not None:
         # native Stage-A parse already emitted the bucketed records
         assert not plan.tus, "mixed native/python parse in one picture"
+        assert pred_planes is None, "native parse is intra-only"
         return ns.tensor_plan(plan)
     sps = plan.sps
     w, h = sps.pic_width, sps.pic_height
     shapes = [(h, w), (h >> 1, w >> 1), (h >> 1, w >> 1)]
-    inter_pred = None
-    if plan.pus or any(t.pcm for t in plan.tus):
+    inter_pred = pred_planes
+    if inter_pred is None and (plan.pus or any(t.pcm for t in plan.tus)):
         if device_mc:
             from p265_tpu.kernels.mc import build_inter_pred_device
             inter_pred = build_inter_pred_device(plan, refs or {})
