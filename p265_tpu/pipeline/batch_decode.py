@@ -4,8 +4,8 @@ Motivation (measured on the axon-PJRT tunnel): after the first device->host
 transfer in a process, EVERY dispatch/transfer costs ~1 ms (vs ~36 us clean)
 -- a plugin pathology, but the mitigation is sound TPU production practice
 anyway: per decoded batch we do exactly
-  1. one h2d upload of a packed byte blob (all compact TU arrays, gather
-     maps, filter parameter grids),
+  1. a handful of h2d uploads (one flat buffer per dtype: all compact TU
+     arrays, gather maps, filter parameter grids),
   2. one jitted program: unpack -> residuals -> merged wavefront scan ->
      deblock (V+H) -> SAO -> bypass-pixel restore,
   3. one (optional, caller-side) d2h fetch of the stacked output planes.
@@ -35,44 +35,55 @@ from p265_tpu.pipeline.wavefront import (
     _stack_plane)
 
 # ---------------------------------------------------------------------------
-# packing: list of numpy arrays -> one uint8 blob + static unpack specs
+# packing: list of numpy arrays -> one flat buffer PER DTYPE + static specs.
+#
+# Round-2 used a single uint8 blob with device-side bitcast_convert_type
+# unpacking; at 1080p sizes those bitcasts of multi-MB 1D uint8 slices hang
+# the XLA TPU compiler for >9 min (root cause of the round-2 "1080p cannot
+# compile" blocker, bisected via profiling/probe_full_bisect.py).  Same-dtype
+# slicing + reshape compiles in seconds; the cost is a handful of h2d uploads
+# per batch (~6, one per dtype) instead of one -- ~5 ms of axon dispatch
+# overhead, irrelevant next to the compile cliff it removes.
 # ---------------------------------------------------------------------------
 
 
 def _pack(arrays: list[np.ndarray]):
-    """-> (blob uint8 [N], specs).  Each array padded to 4-byte alignment."""
-    parts = []
+    """-> (tuple of per-dtype 1-D buffers, specs).
+
+    specs: tuple of (buffer_idx, elem_offset, dtype_str, shape) per array.
+    bool arrays travel as uint8 (device unpack restores via != 0)."""
+    order = []        # dtype keys in first-seen order
+    parts = {}        # dtype key -> list of flat arrays
+    offs = {}         # dtype key -> current element offset
     specs = []
-    off = 0
     for a in arrays:
         a = np.ascontiguousarray(a)
-        raw = a.view(np.uint8).reshape(-1)
-        pad = (-raw.size) % 4
-        if pad:
-            raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
-        specs.append((off, a.dtype.str, a.shape))
-        parts.append(raw)
-        off += raw.size
-    blob = (np.concatenate(parts) if parts
-            else np.zeros(4, np.uint8))
-    return blob, tuple(specs)
+        key = "|b1" if a.dtype == np.bool_ else a.dtype.str
+        store = a.view(np.uint8) if a.dtype == np.bool_ else a
+        if key not in parts:
+            parts[key] = []
+            offs[key] = 0
+            order.append(key)
+        specs.append((order.index(key), offs[key], a.dtype.str, a.shape))
+        parts[key].append(store.reshape(-1))
+        offs[key] += store.size
+    bufs = tuple(np.concatenate(parts[k]) if parts[k]
+                 else np.zeros(1, np.dtype(k)) for k in order)
+    return bufs, tuple(specs)
 
 
-def _unpack(blob, specs):
-    """Device: blob uint8 -> list of arrays per specs (static slicing)."""
+def _unpack(bufs, specs):
+    """Device: per-dtype buffers -> list of arrays per specs (static slices,
+    no bitcasts)."""
     out = []
-    for off, dtype_str, shape in specs:
+    for buf_idx, off, dtype_str, shape in specs:
         dt = np.dtype(dtype_str)
         n = int(np.prod(shape, dtype=np.int64))
-        nbytes = n * dt.itemsize
-        raw = blob[off:off + nbytes]
+        raw = jax.lax.slice_in_dim(bufs[buf_idx], off, off + n)
         if dt == np.bool_:
-            a = raw.astype(jnp.bool_)
-        elif dt.itemsize == 1:
-            a = jax.lax.bitcast_convert_type(raw, dt.name)
+            a = raw != 0
         else:
-            a = jax.lax.bitcast_convert_type(raw.reshape(n, dt.itemsize),
-                                             dt.name)
+            a = raw
         out.append(a.reshape(shape))
     return out
 
@@ -214,7 +225,7 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False):
     else:
         tr = tl = 0
 
-    blob, specs = _pack(arrays)
+    bufs, specs = _pack(arrays)
     sizes = tuple(sorted(merged.batches.keys()))
     tu_field_specs = tuple(sorted(
         (log2, tuple(sorted(fields.items()))) for log2, fields in
@@ -227,7 +238,7 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False):
         sao_chroma=sao_chroma, ctb=sps.ctb_size, has_masks=has_masks,
         tr=tr, tl=tl, pscan_ok=pscan_ok,
     )
-    return blob, _freeze(meta)
+    return bufs, _freeze(meta)
 
 
 def _freeze(d):
@@ -245,10 +256,10 @@ def _thaw(t):
 
 @functools.partial(jax.jit,
                    static_argnames=("meta", "use_mxu", "pscan", "interpret"))
-def _decode_batch_jit(blob, meta, use_mxu: bool = True,
+def _decode_batch_jit(bufs, meta, use_mxu: bool = True,
                       pscan: bool = False, interpret: bool = False):
     m = _thaw(meta)
-    arrays = _unpack(blob, m["specs"])
+    arrays = _unpack(bufs, m["specs"])
     tu = {}
     idx_maps = {}
     for log2, fields in m["tu"]:
@@ -334,9 +345,9 @@ def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
     device arrays via one upload + one dispatch."""
     if pscan is None:
         pscan = _pscan_default(interpret)
-    blob, meta = _build_batch(tplans, plans, pscan=pscan)
-    return _decode_batch_jit(jnp.asarray(blob), meta, use_mxu, pscan,
-                             interpret)
+    bufs, meta = _build_batch(tplans, plans, pscan=pscan)
+    return _decode_batch_jit(tuple(jnp.asarray(b) for b in bufs), meta,
+                             use_mxu, pscan, interpret)
 
 
 def decode_batch(tplans: list, plans: list, use_mxu: bool = True,

@@ -56,7 +56,7 @@ if stage in ("scan", "all"):
     log("scan-only warm run", round(time.perf_counter()-t0, 2))
 
 if stage in ("filters", "all"):
-    from p265_tpu.golden.decoder import loop_filters_tpu
+    from p265_tpu.kernels.loopfilter import loop_filters_tpu
     y = jnp.asarray(np.asarray(g.prefilter[0], np.int32))
     cb = jnp.asarray(np.asarray(g.prefilter[1], np.int32))
     cr = jnp.asarray(np.asarray(g.prefilter[2], np.int32))
