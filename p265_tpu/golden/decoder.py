@@ -78,7 +78,10 @@ class DecoderBase:
                       "filter_s": 0.0, "slice_bytes": 0, "tus": 0, "ctbs": 0}
 
     # -- overridable reconstruction hooks -----------------------------------
-    def _reconstruct(self, plan: FramePlan, refs: dict) -> list[np.ndarray]:
+    def _reconstruct(self, plan: FramePlan, refs: dict,
+                     tplan=None) -> list[np.ndarray]:
+        """refs: {poc: [y, cb, cr]}.  tplan: optional pre-built TensorPlan
+        (subclasses that tensorize at parse time pass it through the task)."""
         return grecon.reconstruct(plan, refs)
 
     def _filters(self, plan: FramePlan, planes: list[np.ndarray]):
@@ -153,6 +156,7 @@ class DecoderBase:
         """Output-order frames decoded so far."""
         if getattr(self, "_pic", None) is not None:
             self._finish_picture()
+        self._drain_recon()
         if self.dpb is None:
             return []
         self.dpb.flush()
@@ -277,7 +281,12 @@ class DecoderBase:
             self._finish_picture()
 
     def _finish_picture(self) -> None:
-        import time as _time
+        """Parse-side picture completion.  Everything a LATER picture's parse
+        needs (POC/DPB marking, TMVP collocated-MV grids) is final here; the
+        pixel work is packaged as a recon task and handed to _schedule_recon,
+        which subclasses may defer (shape calibration, worker threads).  The
+        DPB holds shell Pictures whose planes are filled strictly in decode
+        order by _run_recon, so MC always sees finished references."""
         pic_st = getattr(self, "_pic", None)
         self._pic = None
         if pic_st is None:
@@ -290,23 +299,8 @@ class DecoderBase:
         ns = getattr(plan, "nstate", None)
         if ns is not None:
             ns.finalize(plan)  # convert native SAO records
-        t1 = _time.perf_counter()
-        refs = {p.poc: p.planes for p in self.dpb.pics if p.is_reference}
-        prefilter = self._reconstruct(plan, refs)
-        t2 = _time.perf_counter()
-        planes = [np.asarray(p).copy() for p in prefilter]
-        if self.apply_filters:
-            planes = self._filters(plan, planes)
-        t3 = _time.perf_counter()
-        self.stats["frames"] += 1
-        self.stats["recon_s"] += t2 - t1
-        self.stats["filter_s"] += t3 - t2
-        self.stats["slice_bytes"] += pic_st["bytes"]
-        self.stats["tus"] += ns.total_tus() if ns is not None else len(plan.tus)
-        self.stats["ctbs"] += sps.num_ctbs
-
-        frame = DecodedFrame(poc, planes, prefilter, plan)
-        pic = Picture(poc, planes,
+        frame = DecodedFrame(poc, None, None, plan)
+        pic = Picture(poc, None,
                       is_reference=nal.is_reference_nal(pic_st["nal_type"]))
         pic.user = frame
         if mctx is not None:
@@ -319,8 +313,39 @@ class DecoderBase:
             pic.col_mv = np.zeros((h16, w16, 2, 2), np.int32)
             pic.col_ref_poc = np.full((h16, w16, 2), NO_REF, np.int32)
             pic.col_is_long_term = np.zeros((h16, w16, 2), bool)
+        # reference shells captured BEFORE inserting the current picture
+        refs = {p.poc: p for p in self.dpb.pics if p.is_reference}
+        self.stats["frames"] += 1
+        self.stats["slice_bytes"] += pic_st["bytes"]
+        self.stats["tus"] += ns.total_tus() if ns is not None else len(plan.tus)
+        self.stats["ctbs"] += sps.num_ctbs
         self._decoded.append(frame)
         self.dpb.insert(pic)
+        self._schedule_recon({"plan": plan, "refs": refs, "frame": frame,
+                              "pic": pic})
+
+    def _schedule_recon(self, task: dict) -> None:
+        """Default: reconstruct immediately (golden behavior)."""
+        self._run_recon(task)
+
+    def _drain_recon(self) -> None:
+        """Finish any deferred recon tasks (no-op unless a subclass defers)."""
+
+    def _run_recon(self, task: dict) -> None:
+        import time as _time
+        plan, frame, pic = task["plan"], task["frame"], task["pic"]
+        refs = {p: r.planes for p, r in task["refs"].items()}
+        t1 = _time.perf_counter()
+        prefilter = self._reconstruct(plan, refs, tplan=task.get("tplan"))
+        t2 = _time.perf_counter()
+        planes = [np.asarray(p).copy() for p in prefilter]
+        if self.apply_filters:
+            planes = self._filters(plan, planes)
+        self.stats["recon_s"] += t2 - t1
+        self.stats["filter_s"] += _time.perf_counter() - t2
+        frame.prefilter = prefilter
+        frame.planes = planes
+        pic.planes = planes
 
 
 class GoldenDecoder(DecoderBase):

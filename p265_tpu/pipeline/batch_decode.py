@@ -98,22 +98,24 @@ _TU_FIELDS = ("pos", "ref_ys", "ref_xs", "ref_ok", "mode", "filter_flag",
               "counts")
 
 
-def _pad_pow2_rows(a: np.ndarray) -> np.ndarray:
-    """Pad axis 0 (n+1 rows, pad row last) to a power of two by repeating
-    the pad row -- keeps jit shapes stable across frames."""
+def _pad_rows(a: np.ndarray, tgt: int) -> np.ndarray:
+    """Pad axis 0 (n+1 rows, pad row last) to tgt rows by repeating the pad
+    row -- keeps jit shapes stable across frames."""
     n1 = a.shape[0]
-    tgt = _pow2(n1, lo=8)
-    if tgt == n1:
+    if tgt <= n1:
         return a
     rep = np.repeat(a[-1:], tgt - n1, axis=0)
     return np.concatenate([a, rep])
 
 
-def _build_batch(tplans: list, plans: list, pscan: bool = False):
-    """-> (blob, static_meta) for one batch of F same-resolution frames.
+def _build_batch(tplans: list, plans: list, pscan: bool = False,
+                 policy=None):
+    """-> (bufs, static_meta) for one batch of F same-resolution frames.
 
     pscan: pack the pallas-wavefront-only fields (okc/pos4) too; they are
     only built (and uploaded) when the pallas scan path will actually run.
+    policy: optional ShapePolicy -- quantizes every data-dependent shape to
+    stream-stable ladder values so one compile serves the whole stream.
     """
     from p265_tpu.pipeline.wavefront import pallas_scan_ok, planeT_geometry
     F = len(tplans)
@@ -123,19 +125,23 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False):
     # plane order: lumas, then cb's, then cr's
     pps_ = ([tp.planes[0] for tp in tplans] + [tp.planes[1] for tp in tplans]
             + [tp.planes[2] for tp in tplans])
-    merged, offs = _merge_segments(pps_)
+    merged, offs = _merge_segments(pps_, policy=policy)
     pscan_ok = (pscan and merged.inter_pred is None
                 and pallas_scan_ok(merged))
-    n_steps, stacked = _stack_plane(merged, pallas=pscan_ok)
-    n_steps = _round_up(n_steps, 32)
+    n_steps, stacked = _stack_plane(merged, pallas=pscan_ok, policy=policy)
+    if policy is None:
+        n_steps = _round_up(n_steps, 32)
 
     arrays = []
     tu_specs = {}
     for log2 in sorted(stacked):
         d = stacked[log2]
+        n1 = d["pos"].shape[0]
+        rows_tgt = (policy.rows(log2, n1) if policy is not None
+                    else _pow2(n1, lo=8))
         im = d["idx_map"]
         if im.shape[0] < n_steps:  # re-pad idx_map rows to the rounded count
-            n = d["pos"].shape[0] - 1
+            n = n1 - 1
             extra = np.full((n_steps - im.shape[0], im.shape[1]), n, np.int32)
             im = np.concatenate([im, extra])
         fields = {}
@@ -150,9 +156,9 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False):
             elif f in ("scale_m", "okc", "pos4"):
                 if f not in d:  # optional: scale_m, pallas-only fields
                     continue
-                a = _pad_pow2_rows(d[f])
+                a = _pad_rows(d[f], rows_tgt)
             else:
-                a = _pad_pow2_rows(d[f])
+                a = _pad_rows(d[f], rows_tgt)
             fields[f] = len(arrays)
             arrays.append(a)
         tu_specs[log2] = fields
@@ -203,7 +209,8 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False):
     # present anywhere in the batch
     from p265_tpu.golden.decoder import bypass_pixel_masks
     masks = [bypass_pixel_masks(p) for p in plans]
-    has_masks = any(m is not None for m in masks)
+    has_masks = (any(m is not None for m in masks)
+                 or (policy is not None and policy.want_masks))
     if has_masks:
         my = np.stack([(m[0] if m is not None else np.zeros((H, W), bool))
                        for m in masks])
@@ -340,23 +347,25 @@ def _pscan_default(interpret: bool):
 
 
 def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
-                        pscan: bool | None = None, interpret: bool = False):
+                        pscan: bool | None = None, interpret: bool = False,
+                        policy=None):
     """F frame plans -> (pre_luma [F,H,W]u8, pre_chroma [2F]..., luma, chroma)
-    device arrays via one upload + one dispatch."""
+    device arrays via one dispatch (a few per-dtype uploads)."""
     if pscan is None:
         pscan = _pscan_default(interpret)
-    bufs, meta = _build_batch(tplans, plans, pscan=pscan)
+    bufs, meta = _build_batch(tplans, plans, pscan=pscan, policy=policy)
     return _decode_batch_jit(tuple(jnp.asarray(b) for b in bufs), meta,
                              use_mxu, pscan, interpret)
 
 
 def decode_batch(tplans: list, plans: list, use_mxu: bool = True,
-                 pscan: bool | None = None, interpret: bool = False):
+                 pscan: bool | None = None, interpret: bool = False,
+                 policy=None):
     """Convenience: -> (prefilter, filtered) as per-frame [y, cb, cr] device
     arrays (chroma order restored)."""
     F = len(tplans)
     pl, pc, fl, fc = decode_batch_planes(tplans, plans, use_mxu, pscan,
-                                         interpret)
+                                         interpret, policy=policy)
     pre = [[pl[f], pc[f], pc[F + f]] for f in range(F)]
     filt = [[fl[f], fc[f], fc[F + f]] for f in range(F)]
     return pre, filt

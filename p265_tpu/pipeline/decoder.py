@@ -19,27 +19,79 @@ from p265_tpu.syntax.ctu import FramePlan
 
 
 class TpuDecoder(DecoderBase):
-    """Annex-B stream -> YUV frames via the TPU reconstruction path."""
+    """Annex-B stream -> YUV frames via the TPU reconstruction path.
+
+    One compile per stream (SURVEY.md 7.6): Stage-B tensor shapes are pure
+    functions of the SYNTAX, never of reference pixels, so decode_stream
+    tensorizes pictures at parse time, feeds every frame's shape needs into
+    the ShapePolicy (calibration), and only then starts device work -- the
+    whole stream then runs through a single compiled program.  The deferral
+    window is bounded by calibrate_frames to cap host memory; frames past
+    the window reconstruct immediately (the policy's running-max ladder
+    absorbs any late growth with at most O(log) recompiles).
+    """
 
     def __init__(self, use_mxu: bool = True, apply_filters: bool = True,
                  filters_on_device: bool = True, use_native_parse: bool = True,
-                 fused: bool = True):
+                 fused: bool = True, shape_policy=None,
+                 calibrate_frames: int = 16):
         super().__init__(apply_filters=apply_filters,
                          use_native_parse=use_native_parse)
         self.use_mxu = use_mxu
         self.filters_on_device = filters_on_device
         self.fused = fused and apply_filters and filters_on_device
         self._pending_filtered = None
+        if shape_policy is None:
+            from p265_tpu.pipeline.wavefront import ShapePolicy
+            shape_policy = ShapePolicy()
+        self.shape_policy = shape_policy
+        self.calibrate_frames = calibrate_frames
+        self._recon_queue: list | None = None
 
-    def _reconstruct(self, plan: FramePlan, refs: dict) -> list[np.ndarray]:
+    def decode_stream(self, data: bytes):
+        if self.calibrate_frames and self._recon_queue is None:
+            self._recon_queue = []
+        try:
+            return super().decode_stream(data)
+        finally:
+            self._recon_queue = None
+
+    # -- recon scheduling: tensorize + calibrate at parse time ---------------
+    def _build_tplan(self, plan: FramePlan, refs: dict | None = None,
+                     skip_pred: bool = False):
         ns = getattr(plan, "nstate", None)
         if ns is not None:
             ns.finalize(plan)  # plan.sao must exist before filter packing
-        tplan = build_tensor_plan(plan, refs, device_mc=True)
+        return build_tensor_plan(plan, refs, device_mc=True,
+                                 skip_pred=skip_pred)
+
+    def _schedule_recon(self, task: dict) -> None:
+        if self._recon_queue is None:
+            return self._run_recon(task)
+        task["tplan"] = self._build_tplan(task["plan"], skip_pred=True)
+        self.shape_policy.observe(task["tplan"])
+        self._recon_queue.append(task)
+        if len(self._recon_queue) >= self.calibrate_frames:
+            self._drain_recon(stop_deferring=True)
+
+    def _drain_recon(self, stop_deferring: bool = False) -> None:
+        q = self._recon_queue
+        self._recon_queue = None if (stop_deferring or q is None) else []
+        for task in q or ():
+            self._run_recon(task)
+
+    def _reconstruct(self, plan: FramePlan, refs: dict,
+                     tplan=None) -> list[np.ndarray]:
+        if tplan is None:
+            tplan = self._build_tplan(plan, refs)
+        else:
+            from p265_tpu.plan.frame_plan import attach_pred_planes
+            attach_pred_planes(tplan, refs)
         if self.fused:
             from p265_tpu.pipeline.batch_decode import decode_batch_planes
             pl, pc, fl, fc = decode_batch_planes([tplan], [plan],
-                                                 use_mxu=self.use_mxu)
+                                                 use_mxu=self.use_mxu,
+                                                 policy=self.shape_policy)
             self._pending_filtered = [
                 np.asarray(fl[0], np.int32), np.asarray(fc[0], np.int32),
                 np.asarray(fc[1], np.int32)]

@@ -66,6 +66,88 @@ def _pow2(n: int, lo: int = 8) -> int:
     return c
 
 
+class ShapePolicy:
+    """Quantizes Stage-B tensor shapes so ONE compiled program serves a whole
+    stream (SURVEY.md 7.6: "pad capacities chosen per level limits so
+    recompilation never triggers mid-stream").
+
+    Every shape knob (per-bucket lane capacity, per-bucket TU-row count,
+    wavefront step count) is rounded up a coarse ladder {pow2, 1.5*pow2} and
+    kept as a RUNNING MAX across frames: a frame never shrinks a shape, so
+    the jit cache hits for every frame whose needs fit the current ladder
+    rung (worst-case padding overhead 50%, typical <20%).  A frame that
+    exceeds a rung bumps it once -- recompiles are bounded by the ladder
+    height, not the stream length.  All four TU size buckets are always
+    materialized (empty ones cost one pad lane), and want_pred forces the
+    inter prediction plane into intra frames of mixed streams so I and P/B
+    pictures share one program.
+    """
+
+    def __init__(self, want_pred: bool = False):
+        self._caps: dict[int, int] = {}
+        self._rows: dict[int, int] = {}
+        self._steps = 8
+        self.want_pred = want_pred    # force the MC pred plane input
+        self.want_scale = False       # force scale_m fields (scaling lists)
+        self.want_masks = False       # force bypass-pixel mask inputs
+
+    @staticmethod
+    def _ladder(n: int, lo: int = 8) -> int:
+        c = lo
+        while c < n:
+            if (c * 3) // 2 >= n:
+                return (c * 3) // 2
+            c <<= 1
+        return c
+
+    def steps(self, needed: int) -> int:
+        self._steps = max(self._steps, self._ladder(max(needed, 1)))
+        return self._steps
+
+    def cap(self, log2: int, needed: int) -> int:
+        cur = max(self._caps.get(log2, 8), self._ladder(max(needed, 1)))
+        self._caps[log2] = cur
+        return cur
+
+    def rows(self, log2: int, needed: int) -> int:
+        cur = max(self._rows.get(log2, 8), self._ladder(max(needed, 1)))
+        self._rows[log2] = cur
+        return cur
+
+    def observe(self, tplan) -> None:
+        """Feed one frame's syntax-derived shape needs BEFORE any device
+        dispatch.  The tplan may be built with skip_pred=True (shapes never
+        depend on reference pixels), so a decoder can observe a whole stream
+        at parse time and compile exactly ONE program for it.  Mirrors the
+        shape math of _merge_segments/_stack_plane/_build_batch for an F=1
+        batch: per bucket, lane cap = max TUs of all planes sharing a step,
+        rows = total TUs + pad row."""
+        from p265_tpu.plan.frame_plan import LOG2_SIZES
+        pps_ = tplan.planes
+        n_steps = max(pp.n_steps for pp in pps_)
+        self.steps(n_steps)
+        for log2 in LOG2_SIZES:
+            per_step = np.zeros(n_steps + 1, np.int64)
+            rows = 1
+            for pp in pps_:
+                b = pp.batches.get(log2)
+                if b is None or len(b.step) == 0:
+                    continue
+                per_step += np.bincount(b.step, minlength=n_steps + 1)
+                rows += len(b.step)
+                if b.scale_m is not None:
+                    self.want_scale = True
+            self.cap(log2, int(per_step[1:].max()) if n_steps else 1)
+            self.rows(log2, rows)
+        fp = tplan.frame_plan
+        if getattr(fp, "_needs_pred", False) or any(
+                pp.inter_pred is not None for pp in pps_):
+            self.want_pred = True
+        from p265_tpu.golden.decoder import bypass_pixel_masks
+        if bypass_pixel_masks(fp) is not None:
+            self.want_masks = True
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -111,7 +193,7 @@ def planeT_geometry(pp: PlanePlan):
     return offs, heights, widths, tb_table, tb, tl
 
 
-def _stack_plane(pp: PlanePlan, pallas: bool | None = None):
+def _stack_plane(pp: PlanePlan, pallas: bool | None = None, policy=None):
     """Host: per-size COMPACT per-TU arrays + [n_steps, cap] gather maps.
 
     Every per-TU array carries one extra pad row at index n (scatters into
@@ -122,13 +204,20 @@ def _stack_plane(pp: PlanePlan, pallas: bool | None = None):
     pallas: also build the pallas-wavefront-only fields (okc / pos4), which
     require the planeT geometry (only valid when pallas_scan_ok(pp)).
     Default: build them iff the geometry allows it.
+
+    policy: optional ShapePolicy quantizing n_steps and per-bucket lane caps
+    to stream-stable values (one compile per stream).
     """
     if pallas is None:
         pallas = pallas_scan_ok(pp)
     cached = getattr(pp, "_stacked_cache", None)
-    if cached is not None and (not pallas or cached[0]):
+    if (cached is not None and (not pallas or cached[0])
+            and cached[3] is policy):
         return cached[1], cached[2]
-    n_steps = _round_up(max(pp.n_steps, 1), 8)
+    if policy is not None:
+        n_steps = policy.steps(pp.n_steps)
+    else:
+        n_steps = _round_up(max(pp.n_steps, 1), 8)
     ph, pw = pp.shape
     if pallas:
         offs, heights, widths, tb_table, _, _ = planeT_geometry(pp)
@@ -138,7 +227,9 @@ def _stack_plane(pp: PlanePlan, pallas: bool | None = None):
     out = {}
     for log2, b in pp.batches.items():
         counts = np.bincount(b.step, minlength=n_steps + 1)[1:n_steps + 1]
-        cap = _pow2(int(counts.max()) if counts.size else 1)
+        max_cnt = int(counts.max()) if counts.size else 1
+        cap = (policy.cap(log2, max_cnt) if policy is not None
+               else _pow2(max_cnt))
         n = len(b.step)
         # lane l of step-row s holds starts[s]+l while < starts[s+1]; else n
         starts = np.searchsorted(b.step, np.arange(1, n_steps + 2))
@@ -188,7 +279,7 @@ def _stack_plane(pp: PlanePlan, pallas: bool | None = None):
             d["okc"] = padded(okc, 0, np.int8)
             d["pos4"] = padded(pos4, 0, np.int32)
         out[log2] = d
-    pp._stacked_cache = (pallas, n_steps, out)
+    pp._stacked_cache = (pallas, n_steps, out, policy)
     return n_steps, out
 
 
@@ -282,10 +373,31 @@ def _run_plane(stacked, residuals, sizes: tuple, c_idx: int, shape: tuple,
 # ---------------------------------------------------------------------------
 
 
-def _merge_segments(pps_: list):
+def _empty_tu_batch(log2: int, with_scale: bool) -> TuBatch:
+    """Zero-TU bucket so a stream-stable program always sees all sizes."""
+    s = 1 << log2
+    nref2 = 2 * (2 * s + 1)
+    zb = np.zeros(0, bool)
+    zi = np.zeros(0, np.int32)
+    return TuBatch(
+        size=s, pos=np.zeros((0, 2), np.int32), step=zi,
+        coeffs=np.zeros((0, s, s), np.int32), qp=zi, mode=zi, c_idx=zi,
+        is_dst=zb, tskip=zb, has_res=zb, bypass=zb,
+        scale_m=(np.zeros((0, s, s), np.int32) if with_scale else None),
+        inter=zb, filter_flag=zb, strong_allowed=zb, dc_edge=zb,
+        ref_ys=np.zeros((0, nref2), np.int32),
+        ref_xs=np.zeros((0, nref2), np.int32),
+        ref_ok=np.zeros((0, nref2), bool),
+        ok_scan=np.zeros((0, 4 * s + 1), bool))
+
+
+def _merge_segments(pps_: list, policy=None):
     """Fold PlanePlans of arbitrary shapes into one tall plane.
 
-    Returns (merged PlanePlan, [offset per input])."""
+    Returns (merged PlanePlan, [offset per input]).  With a ShapePolicy,
+    all LOG2_SIZES buckets are materialized (empty ones as zero-TU batches)
+    so the bucket set -- and hence the compiled program -- is stream-stable.
+    """
     heights = [pp.shape[0] for pp in pps_]
     widths = [pp.shape[1] for pp in pps_]
     pw = max(widths)
@@ -300,6 +412,7 @@ def _merge_segments(pps_: list):
     merged.seg_offsets = list(offs)
     merged.seg_heights = list(heights)
     merged.seg_widths = list(widths)
+    force_scale = policy is not None and policy.want_scale
     all_sizes = sorted({log2 for pp in pps_ for log2 in pp.batches})
     for log2 in all_sizes:
         parts = []
@@ -329,7 +442,8 @@ def _merge_segments(pps_: list):
             tskip=cat("tskip"),
             has_res=cat("has_res"),
             bypass=cat("bypass"),
-            scale_m=(None if all(b.scale_m is None for b, _, _ in parts)
+            scale_m=(None if not force_scale
+                     and all(b.scale_m is None for b, _, _ in parts)
                      else np.concatenate(
                          [b.scale_m if b.scale_m is not None
                           else np.full((len(b.step), 1 << log2, 1 << log2),
@@ -344,8 +458,16 @@ def _merge_segments(pps_: list):
             ref_ok=cat("ref_ok"),
             ok_scan=cat("ok_scan"),
         )
+    if policy is not None:
+        from p265_tpu.plan.frame_plan import LOG2_SIZES
+        with_scale = force_scale or any(b.scale_m is not None
+                                        for pp in pps_ for b in pp.batches.values())
+        for log2 in LOG2_SIZES:
+            if log2 not in merged.batches:
+                merged.batches[log2] = _empty_tu_batch(log2, with_scale)
     preds = None
-    if any(pp.inter_pred is not None for pp in pps_):
+    if (policy is not None and policy.want_pred) or any(
+            pp.inter_pred is not None for pp in pps_):
         preds = np.zeros((total_h, pw), np.int32)
         for pp, off in zip(pps_, offs):
             if pp.inter_pred is not None:

@@ -98,7 +98,11 @@ def _expand_large(tus):
 
 def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
                       device_mc: bool = False,
-                      pred_planes: list | None = None) -> TensorPlan:
+                      pred_planes: list | None = None,
+                      skip_pred: bool = False) -> TensorPlan:
+    """skip_pred: build the (purely syntax-derived) buckets WITHOUT the MC
+    prediction planes -- used to tensorize at parse time, before reference
+    pixels exist; attach_pred_planes fills them in at reconstruction time."""
     ns = getattr(plan, "nstate", None)
     if ns is not None:
         # native Stage-A parse already emitted the bucketed records
@@ -109,13 +113,16 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
     w, h = sps.pic_width, sps.pic_height
     shapes = [(h, w), (h >> 1, w >> 1), (h >> 1, w >> 1)]
     inter_pred = pred_planes
-    if inter_pred is None and (plan.pus or any(t.pcm for t in plan.tus)):
+    if skip_pred:
+        inter_pred = None
+    elif inter_pred is None and (plan.pus or any(t.pcm for t in plan.tus)):
         if device_mc:
             from p265_tpu.kernels.mc import build_inter_pred_device
             inter_pred = build_inter_pred_device(plan, refs or {})
         else:
             from p265_tpu.golden.recon import build_inter_pred
             inter_pred = build_inter_pred(plan, refs or {})
+    plan._needs_pred = bool(plan.pus or any(t.pcm for t in plan.tus))
     planes = []
     for p_idx in range(3):
         ph, pw = shapes[p_idx]
@@ -233,3 +240,24 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
             pp.batches[log2] = b
         planes.append(pp)
     return TensorPlan(planes, plan)
+
+
+def attach_pred_planes(tplan: TensorPlan, refs: dict,
+                       device_mc: bool = True) -> None:
+    """Fill the MC prediction planes of a tplan built with skip_pred=True,
+    now that the reference pictures' pixels exist."""
+    plan = tplan.frame_plan
+    if getattr(plan, "nstate", None) is not None:
+        return  # native parse path is intra-only
+    if not getattr(plan, "_needs_pred", False):
+        return
+    if all(pp.inter_pred is not None for pp in tplan.planes):
+        return  # already attached
+    if device_mc:
+        from p265_tpu.kernels.mc import build_inter_pred_device
+        pred = build_inter_pred_device(plan, refs or {})
+    else:
+        from p265_tpu.golden.recon import build_inter_pred
+        pred = build_inter_pred(plan, refs or {})
+    for pp, pl in zip(tplan.planes, pred):
+        pp.inter_pred = pl
