@@ -73,6 +73,173 @@ def _combine(p0, p1, has_l1, w_params):
     return jnp.where(has_l1[:, None, None], bi, uni)
 
 
+# ---------------------------------------------------------------------------
+# fused-program MC: traced prediction-plane builder + policy-padded host
+# arrays.  Consumed by pipeline/batch_decode inside the SINGLE jitted program
+# (refs stay device-resident in the DPB; zero host round trips per frame).
+# ---------------------------------------------------------------------------
+
+
+def mc_pred_plane(ref_planes, pos, r0, r1, mv0, mv1, has1,
+                  wp, shape: tuple, taps: int):
+    """Traced: one component's MC prediction plane, inside the fused program.
+
+    ref_planes: [n_refs, H, W] uint8 (device-resident DPB slabs)
+    pos [n,2] (y,x); r0/r1 [n]; mv0/mv1 [n,2]; has1 [n] bool
+    wp: (w0, o0, w1, o1, log2_wd) per-block int32 -- identity weights
+    (w=1, o=0, log2_wd=0) reproduce the unweighted rounding bit-exactly,
+    so ONE code path serves WP and non-WP slices.
+    Pad blocks carry pos=(H, 0): every scatter row is out of bounds and
+    mode='drop' discards them.
+    """
+    block = BL if taps == 8 else BC
+    fmask = 3 if taps == 8 else 7
+    filt = jnp.asarray(LUMA_FILTER if taps == 8 else CHROMA_FILTER,
+                       jnp.int32)
+    refs = ref_planes.astype(jnp.int32)
+    f0 = jnp.stack([filt[mv0[:, 0] & fmask], filt[mv0[:, 1] & fmask]], 1)
+    f1 = jnp.stack([filt[mv1[:, 0] & fmask], filt[mv1[:, 1] & fmask]], 1)
+    p0 = _mc_blocks.__wrapped__(refs, pos, r0, mv0, f0, block, taps,
+                                refs.shape[0])
+    p1 = _mc_blocks.__wrapped__(refs, pos, r1, mv1, f1, block, taps,
+                                refs.shape[0])
+    samp = _combine(p0, p1, has1, tuple(wp))
+    plane = jnp.zeros(shape, jnp.int32)
+    rows = pos[:, 0][:, None, None] + jnp.arange(block)[None, :, None]
+    cols = pos[:, 1][:, None, None] + jnp.arange(block)[None, None, :]
+    return plane.at[rows, cols].set(samp, mode="drop")
+
+
+def _expand_blocks(xs, ys, ws, hs, B: int):
+    """Vectorized: per-PU rectangles -> (pu_of [n], pos [n,2]) block grid."""
+    nbx = ws // B
+    counts = nbx * (hs // B)
+    total = int(counts.sum())
+    pu_of = np.repeat(np.arange(len(xs)), counts)
+    start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(total) - start[pu_of]
+    by = within // nbx[pu_of]
+    bx = within - by * nbx[pu_of]
+    pos = np.stack([ys[pu_of] + by * B, xs[pu_of] + bx * B], 1)
+    return pu_of, pos.astype(np.int32)
+
+
+def mc_arrays_padded(plan, poc_index: dict, pad_rows: dict):
+    """Host: all inter PUs -> policy-padded MC block arrays for the fused
+    program.  Returns {"y": {...}, "c": {...}} (chroma cb/cr share geometry;
+    weights are per-component: wp_1 for cb, wp_2 for cr; luma wp_0).
+
+    pad_rows: {"y": n, "c": n} target row counts (ShapePolicy ladder)."""
+    pus = plan.pus
+    npu = len(pus)
+    if npu == 0:
+        # I picture inside a fused-MC stream: all-pad arrays, same program
+        out = {}
+        for grp, ph in (("y", plan.sps.pic_height),
+                        ("c", plan.sps.pic_height >> 1)):
+            tgt = pad_rows[grp]
+            d = dict(pos=np.full((tgt, 2), 0, np.int32),
+                     mv0=np.zeros((tgt, 2), np.int32),
+                     mv1=np.zeros((tgt, 2), np.int32),
+                     r0=np.zeros(tgt, np.int32),
+                     r1=np.zeros(tgt, np.int32),
+                     has1=np.zeros(tgt, bool))
+            d["pos"][:] = (ph, 0)
+            wp = np.zeros((tgt, 5), np.int32)
+            wp[:, 0] = wp[:, 2] = 1
+            if grp == "y":
+                d["wp_0"] = wp
+            else:
+                d["wp_1"], d["wp_2"] = wp, wp.copy()
+            out[grp] = d
+        return out
+    x = np.array([p.x for p in pus], np.int32)
+    y = np.array([p.y for p in pus], np.int32)
+    w = np.array([p.w for p in pus], np.int32)
+    h = np.array([p.h for p in pus], np.int32)
+    uses1 = np.array([p.motion.uses(1) for p in pus], bool)
+    uses0 = np.array([p.motion.uses(0) for p in pus], bool)
+    l0 = np.where(uses0, 0, 1)                   # first used list per PU
+    mv = np.array([p.motion.mv for p in pus], np.int32).reshape(npu, 2, 2)
+    rpoc = np.array([p.motion.ref_poc for p in pus], np.int64)
+    ridx = np.array([p.motion.ref_idx for p in pus], np.int32)
+    poc_map = {p: i for p, i in poc_index.items()}
+    ar = np.zeros((npu, 2), np.int32)
+    for lx in range(2):
+        use = uses1 if lx else uses0
+        for i in np.nonzero(use)[0]:
+            ar[i, lx] = poc_map[int(rpoc[i, lx])]
+    mv0 = mv[np.arange(npu), l0]
+    r0 = ar[np.arange(npu), l0]
+    has1 = uses0 & uses1
+
+    wt = None
+    if ((plan.pps.weighted_pred and plan.sh.slice_type == 1)
+            or (plan.pps.weighted_bipred and plan.sh.slice_type == 0)):
+        wt = plan.sh.pred_weights
+    # per-PU weight entries per component (identity when WP is off)
+    wp_pu = np.zeros((3, npu, 5), np.int32)
+    wp_pu[:, :, 0] = 1   # w0
+    wp_pu[:, :, 2] = 1   # w1
+    if wt is not None:
+        for i, p in enumerate(pus):
+            m = p.motion
+            for c in range(3):
+                denom = wt.luma_log2_denom if c == 0 else wt.chroma_log2_denom
+                lwd = denom + (14 - BIT_DEPTH) - 6
+                wp_pu[c, i, 4] = lwd
+                off = 0 if c == 0 else 2 * c
+                e0 = wt.get(int(l0[i]), int(ridx[i, l0[i]]))
+                wp_pu[c, i, 0], wp_pu[c, i, 1] = e0[off], e0[off + 1]
+                if has1[i]:
+                    e1 = wt.get(1, int(ridx[i, 1]))
+                    wp_pu[c, i, 2], wp_pu[c, i, 3] = e1[off], e1[off + 1]
+
+    out = {}
+    for grp, B, ph in (("y", BL, plan.sps.pic_height),
+                       ("c", BC, plan.sps.pic_height >> 1)):
+        if grp == "y":
+            pu_of, pos = _expand_blocks(x, y, w, h, B)
+        else:
+            pu_of, pos = _expand_blocks(x >> 1, y >> 1, w >> 1, h >> 1, B)
+        n = len(pu_of)
+        tgt = pad_rows[grp]
+        assert tgt >= n, (grp, tgt, n)
+
+        def padded(a, fill=0):
+            full = np.full((tgt,) + a.shape[1:], fill, a.dtype)
+            full[:n] = a
+            return full
+
+        d = dict(
+            pos=padded(pos),
+            mv0=padded(mv0[pu_of]),
+            mv1=padded(np.where(has1[pu_of, None], mv[pu_of, 1], 0)
+                       .astype(np.int32)),
+            r0=padded(r0[pu_of]),
+            r1=padded(np.where(has1[pu_of], ar[pu_of, 1], 0)
+                      .astype(np.int32)),
+            has1=padded(has1[pu_of]),
+        )
+        d["pos"][n:] = (ph, 0)   # pad blocks scatter out of bounds -> dropped
+        if grp == "y":
+            d["wp_0"] = padded(wp_pu[0][pu_of])
+        else:
+            d["wp_1"] = padded(wp_pu[1][pu_of])
+            d["wp_2"] = padded(wp_pu[2][pu_of])
+        out[grp] = d
+    return out
+
+
+def mc_block_counts(plan) -> dict:
+    """Host: per-group MC block counts (for ShapePolicy calibration)."""
+    ny = nc = 0
+    for p in plan.pus:
+        ny += (p.w // BL) * (p.h // BL)
+        nc += ((p.w >> 1) // BC) * ((p.h >> 1) // BC)
+    return {"y": ny, "c": nc}
+
+
 def mc_block_arrays(plan, c: int, poc_index: dict):
     """Host: flatten all inter PUs of component c into fixed-size MC block
     arrays (the device kernel's input layout).

@@ -97,6 +97,64 @@ _TU_FIELDS = ("pos", "ref_ys", "ref_xs", "ref_ok", "mode", "filter_flag",
               "tskip", "bypass", "scale_m", "idx_map", "okc", "pos4",
               "counts")
 
+# fields of the hoisted inter-TU apply (pred + residual, no scan)
+_ITU_FIELDS = ("pos", "coeffs", "qp", "tskip", "bypass", "scale_m")
+
+
+def _hoist_inter(merged, policy):
+    """Pull every inter-predicted TU OUT of the wavefront scan.
+
+    Inter TUs have no in-frame sample dependencies (their prediction is the
+    MC plane), so they all sit at wavefront step 1 -- which explodes the
+    per-step lane cap (a 416x240 P frame puts ~1500 TUs in one step) and
+    with ladder-stable caps makes EVERY step pay that width.  Applying them
+    as one vectorized gather+scatter BEFORE the scan ("step 0") keeps the
+    dependency order (intra consumers of inter samples sit at step >= 2)
+    and shrinks the scan to the intra wavefront only.
+
+    Mutates merged.batches in place (intra-only); returns {log2: fields} of
+    compact inter-apply arrays (each with one trailing pad row scattering
+    into the guard region), or None when the program needs no inter apply.
+    """
+    import dataclasses
+    ph = merged.shape[0]
+    force = policy is not None and (policy.want_pred or policy.saw_pus)
+    out = {}
+    for log2, b in list(merged.batches.items()):
+        m = np.asarray(b.inter)
+        if not m.any() and not force:
+            continue
+        keep = ~m
+
+        def sub(a, sel):
+            return None if a is None else a[sel]
+
+        coord_dt = b.pos.dtype
+        d = dict(pos=np.concatenate([b.pos[m],
+                                     np.array([[ph, 0]], coord_dt)]),
+                 coeffs=np.concatenate(
+                     [b.coeffs[m],
+                      np.zeros((1,) + b.coeffs.shape[1:], b.coeffs.dtype)]),
+                 qp=np.concatenate([b.qp[m], np.zeros(1, b.qp.dtype)]),
+                 tskip=np.concatenate([b.tskip[m], np.zeros(1, bool)]),
+                 bypass=np.concatenate([b.bypass[m], np.zeros(1, bool)]))
+        if b.scale_m is not None:
+            d["scale_m"] = np.concatenate(
+                [b.scale_m[m],
+                 np.full((1,) + b.scale_m.shape[1:], 16, b.scale_m.dtype)])
+        n1 = d["pos"].shape[0]
+        tgt = (policy.inter_rows(log2, n1) if policy is not None
+               else _pow2(n1, lo=8))
+        out[log2] = {k: _pad_rows(a, tgt) for k, a in d.items()}
+        if m.any():
+            merged.batches[log2] = dataclasses.replace(
+                b, **{f: sub(getattr(b, f), keep) for f in (
+                    "pos", "step", "coeffs", "qp", "mode", "c_idx", "is_dst",
+                    "tskip", "has_res", "bypass", "scale_m", "inter",
+                    "filter_flag", "strong_allowed", "dc_edge", "ref_ys",
+                    "ref_xs", "ref_ok", "ok_scan")})
+    return out or None
+
 
 def _pad_rows(a: np.ndarray, tgt: int) -> np.ndarray:
     """Pad axis 0 (n+1 rows, pad row last) to tgt rows by repeating the pad
@@ -109,25 +167,31 @@ def _pad_rows(a: np.ndarray, tgt: int) -> np.ndarray:
 
 
 def _build_batch(tplans: list, plans: list, pscan: bool = False,
-                 policy=None):
+                 policy=None, mc=None):
     """-> (bufs, static_meta) for one batch of F same-resolution frames.
 
     pscan: pack the pallas-wavefront-only fields (okc/pos4) too; they are
     only built (and uploaded) when the pallas scan path will actually run.
     policy: optional ShapePolicy -- quantizes every data-dependent shape to
     stream-stable ladder values so one compile serves the whole stream.
+    mc: optional fused-MC block arrays (kernels.mc.mc_arrays_padded, F=1
+    only): the prediction planes are then computed INSIDE the program from
+    device-resident reference slabs instead of being uploaded densely.
     """
     from p265_tpu.pipeline.wavefront import pallas_scan_ok, planeT_geometry
     F = len(tplans)
+    assert mc is None or F == 1, "fused MC path is per-picture (F=1)"
     sps = plans[0].sps
     H, W = sps.pic_height, sps.pic_width
     Hc, Wc = H >> 1, W >> 1
     # plane order: lumas, then cb's, then cr's
     pps_ = ([tp.planes[0] for tp in tplans] + [tp.planes[1] for tp in tplans]
             + [tp.planes[2] for tp in tplans])
-    merged, offs = _merge_segments(pps_, policy=policy)
-    pscan_ok = (pscan and merged.inter_pred is None
-                and pallas_scan_ok(merged))
+    merged, offs = _merge_segments(pps_, policy=policy,
+                                   host_pred=mc is None)
+    itu = _hoist_inter(merged, policy)
+    pscan_ok = (pscan and mc is None and itu is None
+                and merged.inter_pred is None and pallas_scan_ok(merged))
     n_steps, stacked = _stack_plane(merged, pallas=pscan_ok, policy=policy)
     if policy is None:
         n_steps = _round_up(n_steps, 32)
@@ -215,17 +279,41 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False,
         my = np.stack([(m[0] if m is not None else np.zeros((H, W), bool))
                        for m in masks])
         # chroma mask order must match chroma plane order (cb's then cr's)
-        mc = np.stack([(m[c] if m is not None else np.zeros((Hc, Wc), bool))
-                       for c in (1, 2) for m in masks])
+        mch = np.stack([(m[c] if m is not None else np.zeros((Hc, Wc), bool))
+                        for c in (1, 2) for m in masks])
         fp["mask_y"] = len(arrays)
         arrays.append(my)
         fp["mask_c"] = len(arrays)
-        arrays.append(mc)
+        arrays.append(mch)
 
     pred = None
     if merged.inter_pred is not None:
         fp["pred"] = len(arrays)
         arrays.append(np.clip(merged.inter_pred, 0, 255).astype(np.uint8))
+
+    mc_specs = None
+    if mc is not None:
+        mcs = []
+        for grp in ("y", "c"):
+            fields = {}
+            for f, a in sorted(mc[grp].items()):
+                fields[f] = len(arrays)
+                arrays.append(np.ascontiguousarray(a))
+            mcs.append((grp, tuple(sorted(fields.items()))))
+        mc_specs = tuple(mcs)
+
+    itu_specs = None
+    if itu is not None:
+        its = []
+        for log2 in sorted(itu):
+            fields = {}
+            for f in _ITU_FIELDS:
+                if f not in itu[log2]:
+                    continue
+                fields[f] = len(arrays)
+                arrays.append(itu[log2][f])
+            its.append((log2, tuple(sorted(fields.items()))))
+        itu_specs = tuple(its)
 
     if pscan_ok:
         _, _, _, _, tr, tl = planeT_geometry(merged)
@@ -243,7 +331,7 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False,
         tu=tu_field_specs, fp=tuple(sorted(fp.items())),
         specs=specs, deblock=deblock_on, sao_luma=sao_luma,
         sao_chroma=sao_chroma, ctb=sps.ctb_size, has_masks=has_masks,
-        tr=tr, tl=tl, pscan_ok=pscan_ok,
+        tr=tr, tl=tl, pscan_ok=pscan_ok, mc=mc_specs, itu=itu_specs,
     )
     return bufs, _freeze(meta)
 
@@ -264,7 +352,8 @@ def _thaw(t):
 @functools.partial(jax.jit,
                    static_argnames=("meta", "use_mxu", "pscan", "interpret"))
 def _decode_batch_jit(bufs, meta, use_mxu: bool = True,
-                      pscan: bool = False, interpret: bool = False):
+                      pscan: bool = False, interpret: bool = False,
+                      refs=None):
     m = _thaw(meta)
     arrays = _unpack(bufs, m["specs"])
     tu = {}
@@ -278,6 +367,30 @@ def _decode_batch_jit(bufs, meta, use_mxu: bool = True,
     pred = None
     if "pred" in fp:
         pred = fp["pred"].astype(jnp.int32)
+    if m.get("mc") is not None:
+        # fused MC: prediction planes computed here from the device-resident
+        # reference slabs (refs = 3 tuples of [H,W]/[Hc,Wc] uint8 planes)
+        from p265_tpu.kernels.mc import mc_pred_plane
+        g = {grp: {f: arrays[i] for f, i in fields}
+             for grp, fields in m["mc"]}
+
+        def _mc(grp, stack, wp_key, shape, taps):
+            d = g[grp]
+            wp = tuple(d[wp_key][:, k] for k in range(5))
+            return mc_pred_plane(stack, d["pos"], d["r0"], d["r1"],
+                                 d["mv0"], d["mv1"], d["has1"], wp,
+                                 shape, taps)
+
+        Hf, Wf, Hcf, Wcf = m["H"], m["W"], m["Hc"], m["Wc"]
+        pred_y = _mc("y", jnp.stack(refs[0]), "wp_0", (Hf, Wf), 8)
+        pred_cb = _mc("c", jnp.stack(refs[1]), "wp_1", (Hcf, Wcf), 4)
+        pred_cr = _mc("c", jnp.stack(refs[2]), "wp_2", (Hcf, Wcf), 4)
+        total_h, pw = m["shape"]
+        pred = jnp.zeros((total_h, pw), jnp.int32)
+        pred = pred.at[:Hf, :Wf].set(pred_y)
+        o1, o2 = m["seg_h"], m["seg_h"] + m["seg_hc"]
+        pred = pred.at[o1:o1 + Hcf, :Wcf].set(pred_cb)
+        pred = pred.at[o2:o2 + Hcf, :Wcf].set(pred_cr)
     if pscan and m["pscan_ok"]:
         from p265_tpu.kernels.pallas_wavefront import scan_plane_pallas
         stacked = _expand(tu, idx_maps, m["sizes"], use_mxu,
@@ -285,8 +398,34 @@ def _decode_batch_jit(bufs, meta, use_mxu: bool = True,
         plane = scan_plane_pallas(stacked, m["sizes"], m["shape"],
                                   m["tr"], m["tl"], interpret=interpret)
     else:
+        init = None
+        if m["itu"] is not None:
+            # hoisted inter TUs: pred + residual applied in ONE vectorized
+            # scatter before the scan (they are all wavefront "step 0")
+            total_h, pw = m["shape"]
+            init = jnp.zeros((total_h + GUARD, pw), jnp.int32)
+            psrc = (pred if pred is not None
+                    else jnp.zeros((total_h, pw), jnp.int32))
+            from p265_tpu.kernels.itransform import batch_residual
+            for log2, fields in m["itu"]:
+                d = {f: arrays[i] for f, i in fields}
+                sm = d.get("scale_m")
+                res = batch_residual.__wrapped__(
+                    d["coeffs"].astype(jnp.int32), d["qp"].astype(jnp.int32),
+                    jnp.zeros(d["qp"].shape[0], bool), d["tskip"], log2,
+                    use_mxu, bypass=d["bypass"],
+                    scale_m=None if sm is None else sm.astype(jnp.int32))
+                s = 1 << log2
+                p = d["pos"].astype(jnp.int32)
+                rows = p[:, 0][:, None, None] + jnp.arange(s)[None, :, None]
+                cols = p[:, 1][:, None, None] + jnp.arange(s)[None, None, :]
+                blk = psrc[jnp.clip(rows, 0, total_h - 1), cols]
+                init = init.at[rows, cols].set(
+                    jnp.clip(blk + res, 0, 255))
+            pred = None  # scan TUs are intra-only now
         stacked = _expand(tu, idx_maps, m["sizes"], use_mxu)
-        plane = _scan_plane(stacked, m["sizes"], 0, m["shape"], pred)
+        plane = _scan_plane(stacked, m["sizes"], 0, m["shape"], pred,
+                            init_plane=init)
 
     F, H, W, Hc, Wc = m["F"], m["H"], m["W"], m["Hc"], m["Wc"]
     seg_h, seg_hc = m["seg_h"], m["seg_hc"]
@@ -348,14 +487,18 @@ def _pscan_default(interpret: bool):
 
 def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
                         pscan: bool | None = None, interpret: bool = False,
-                        policy=None):
+                        policy=None, mc=None, refs=None):
     """F frame plans -> (pre_luma [F,H,W]u8, pre_chroma [2F]..., luma, chroma)
-    device arrays via one dispatch (a few per-dtype uploads)."""
+    device arrays via one dispatch (a few per-dtype uploads).
+
+    mc + refs: fused-MC inputs (see _build_batch); refs is a 3-tuple of
+    equal-length tuples of device uint8 reference planes (y, cb, cr)."""
     if pscan is None:
         pscan = _pscan_default(interpret)
-    bufs, meta = _build_batch(tplans, plans, pscan=pscan, policy=policy)
+    bufs, meta = _build_batch(tplans, plans, pscan=pscan, policy=policy,
+                              mc=mc)
     return _decode_batch_jit(tuple(jnp.asarray(b) for b in bufs), meta,
-                             use_mxu, pscan, interpret)
+                             use_mxu, pscan, interpret, refs=refs)
 
 
 def decode_batch(tplans: list, plans: list, use_mxu: bool = True,

@@ -69,7 +69,7 @@ class TpuDecoder(DecoderBase):
         if self._recon_queue is None:
             return self._run_recon(task)
         task["tplan"] = self._build_tplan(task["plan"], skip_pred=True)
-        self.shape_policy.observe(task["tplan"])
+        self.shape_policy.observe(task["tplan"], n_refs=len(task["refs"]))
         self._recon_queue.append(task)
         if len(self._recon_queue) >= self.calibrate_frames:
             self._drain_recon(stop_deferring=True)
@@ -79,6 +79,64 @@ class TpuDecoder(DecoderBase):
         self._recon_queue = None if (stop_deferring or q is None) else []
         for task in q or ():
             self._run_recon(task)
+
+    def _run_recon(self, task: dict) -> None:
+        """Fused path: one dispatch per picture; DPB slabs stay ON DEVICE
+        (uint8), so the next picture's MC reads them with zero host round
+        trips.  Host copies are made only for the output frames."""
+        if not self.fused:
+            return super()._run_recon(task)
+        import time as _time
+        plan, frame, pic = task["plan"], task["frame"], task["pic"]
+        refs = {p: r.planes for p, r in task["refs"].items()}
+        t1 = _time.perf_counter()
+        tplan = task.get("tplan")
+        if tplan is None:
+            tplan = self._build_tplan(plan, skip_pred=True)
+        pol = self.shape_policy
+        mc_in = refs_in = None
+        if pol.want_mc and not getattr(plan, "_has_pcm", False):
+            from p265_tpu.kernels.mc import mc_arrays_padded, mc_block_counts
+            cnt = mc_block_counts(plan)
+            poc_list = sorted(refs)
+            mc_in = mc_arrays_padded(
+                plan, {p: i for i, p in enumerate(poc_list)},
+                {g: pol.mc_rows(g, cnt[g]) for g in ("y", "c")})
+            refs_in = self._ref_stacks(refs, poc_list,
+                                       pol.refs_cap(len(poc_list)))
+        elif getattr(plan, "_needs_pred", False) or pol.want_pred:
+            from p265_tpu.plan.frame_plan import attach_pred_planes
+            attach_pred_planes(tplan, refs)
+        from p265_tpu.pipeline.batch_decode import decode_batch_planes
+        pl, pc, fl, fc = decode_batch_planes(
+            [tplan], [plan], use_mxu=self.use_mxu, policy=pol,
+            mc=mc_in, refs=refs_in)
+        pic.planes = [fl[0], fc[0], fc[1]]        # device uint8 DPB slabs
+        frame.prefilter = [np.asarray(pl[0], np.int32),
+                           np.asarray(pc[0], np.int32),
+                           np.asarray(pc[1], np.int32)]
+        frame.planes = [np.asarray(p, np.int32) for p in pic.planes]
+        self.stats["recon_s"] += _time.perf_counter() - t1
+
+    def _ref_stacks(self, refs: dict, poc_list: list, n_refs: int):
+        """-> 3 tuples of n_refs device uint8 planes (y, cb, cr), padded by
+        repetition (an IDR picture gets cached zero slabs)."""
+        import jax.numpy as jnp
+        pics = [refs[p] for p in poc_list]
+        if not pics:
+            sps = next(iter(self.sps_map.values()))
+            shape = (sps.pic_height, sps.pic_width)
+            if getattr(self, "_zero_slabs", (None,))[0] != shape:
+                h, w = shape
+                self._zero_slabs = (shape, [
+                    jnp.zeros((h, w), jnp.uint8),
+                    jnp.zeros((h >> 1, w >> 1), jnp.uint8),
+                    jnp.zeros((h >> 1, w >> 1), jnp.uint8)])
+            pics = [self._zero_slabs[1]]
+        while len(pics) < n_refs:
+            pics.append(pics[0])
+        return tuple(tuple(jnp.asarray(p[c]).astype(jnp.uint8)
+                           for p in pics) for c in range(3))
 
     def _reconstruct(self, plan: FramePlan, refs: dict,
                      tplan=None) -> list[np.ndarray]:

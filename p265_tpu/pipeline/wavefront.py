@@ -87,9 +87,20 @@ class ShapePolicy:
         self._caps: dict[int, int] = {}
         self._rows: dict[int, int] = {}
         self._steps = 8
+        self._mc_rows: dict[str, int] = {}
+        self._n_refs = 1
+        self.saw_pus = False          # any inter PU observed in the stream
+        self.saw_pcm = False          # PCM needs host-stamped pred planes
         self.want_pred = want_pred    # force the MC pred plane input
         self.want_scale = False       # force scale_m fields (scaling lists)
         self.want_masks = False       # force bypass-pixel mask inputs
+
+    @property
+    def want_mc(self) -> bool:
+        """Use the fused-MC program (device-resident DPB slabs)?  PCM pixels
+        are host-stamped into dense pred planes, so PCM streams keep the
+        dense path."""
+        return self.saw_pus and not self.saw_pcm
 
     @staticmethod
     def _ladder(n: int, lo: int = 8) -> int:
@@ -114,7 +125,24 @@ class ShapePolicy:
         self._rows[log2] = cur
         return cur
 
-    def observe(self, tplan) -> None:
+    def mc_rows(self, grp: str, needed: int) -> int:
+        cur = max(self._mc_rows.get(grp, 8), self._ladder(max(needed, 1)))
+        self._mc_rows[grp] = cur
+        return cur
+
+    def inter_rows(self, log2: int, needed: int) -> int:
+        """Row rung of the hoisted inter-TU apply (separate key space from
+        the scan buckets)."""
+        key = f"i{log2}"
+        cur = max(self._mc_rows.get(key, 8), self._ladder(max(needed, 1)))
+        self._mc_rows[key] = cur
+        return cur
+
+    def refs_cap(self, needed: int) -> int:
+        self._n_refs = max(self._n_refs, needed, 1)
+        return self._n_refs
+
+    def observe(self, tplan, n_refs: int = 0) -> None:
         """Feed one frame's syntax-derived shape needs BEFORE any device
         dispatch.  The tplan may be built with skip_pred=True (shapes never
         depend on reference pixels), so a decoder can observe a whole stream
@@ -128,17 +156,22 @@ class ShapePolicy:
         self.steps(n_steps)
         for log2 in LOG2_SIZES:
             per_step = np.zeros(n_steps + 1, np.int64)
-            rows = 1
+            rows = 1            # intra (scan) TUs; inter TUs are hoisted
+            irows = 1
             for pp in pps_:
                 b = pp.batches.get(log2)
                 if b is None or len(b.step) == 0:
                     continue
-                per_step += np.bincount(b.step, minlength=n_steps + 1)
-                rows += len(b.step)
+                intra = ~np.asarray(b.inter)
+                per_step += np.bincount(b.step[intra],
+                                        minlength=n_steps + 1)[:n_steps + 1]
+                rows += int(intra.sum())
+                irows += int(len(b.step) - intra.sum())
                 if b.scale_m is not None:
                     self.want_scale = True
             self.cap(log2, int(per_step[1:].max()) if n_steps else 1)
             self.rows(log2, rows)
+            self.inter_rows(log2, irows)
         fp = tplan.frame_plan
         if getattr(fp, "_needs_pred", False) or any(
                 pp.inter_pred is not None for pp in pps_):
@@ -146,6 +179,15 @@ class ShapePolicy:
         from p265_tpu.golden.decoder import bypass_pixel_masks
         if bypass_pixel_masks(fp) is not None:
             self.want_masks = True
+        if fp.pus:
+            self.saw_pus = True
+            from p265_tpu.kernels.mc import mc_block_counts
+            cnt = mc_block_counts(fp)
+            self.mc_rows("y", cnt["y"])
+            self.mc_rows("c", cnt["c"])
+        if any(t.pcm for t in fp.tus):
+            self.saw_pcm = True
+        self.refs_cap(n_refs)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -330,9 +372,12 @@ def _run_plane_packed(tu, idx_maps, sizes: tuple, c_idx: int, shape: tuple,
     return _scan_plane(stacked, sizes, c_idx, shape, pred_plane)
 
 
-def _scan_plane(stacked, sizes, c_idx, shape, pred_plane):
+def _scan_plane(stacked, sizes, c_idx, shape, pred_plane, init_plane=None):
     ph, pw = shape
-    plane = jnp.zeros((ph + GUARD, pw), jnp.int32)
+    if init_plane is None:
+        plane = jnp.zeros((ph + GUARD, pw), jnp.int32)
+    else:
+        plane = init_plane
     has_inter = pred_plane is not None
     if pred_plane is None:
         pred_pad = jnp.zeros((1, 1), jnp.int32)
@@ -391,12 +436,14 @@ def _empty_tu_batch(log2: int, with_scale: bool) -> TuBatch:
         ok_scan=np.zeros((0, 4 * s + 1), bool))
 
 
-def _merge_segments(pps_: list, policy=None):
+def _merge_segments(pps_: list, policy=None, host_pred: bool = True):
     """Fold PlanePlans of arbitrary shapes into one tall plane.
 
     Returns (merged PlanePlan, [offset per input]).  With a ShapePolicy,
     all LOG2_SIZES buckets are materialized (empty ones as zero-TU batches)
     so the bucket set -- and hence the compiled program -- is stream-stable.
+    host_pred=False: skip materializing the dense prediction plane (the
+    fused-MC program computes it on device).
     """
     heights = [pp.shape[0] for pp in pps_]
     widths = [pp.shape[1] for pp in pps_]
@@ -466,8 +513,8 @@ def _merge_segments(pps_: list, policy=None):
             if log2 not in merged.batches:
                 merged.batches[log2] = _empty_tu_batch(log2, with_scale)
     preds = None
-    if (policy is not None and policy.want_pred) or any(
-            pp.inter_pred is not None for pp in pps_):
+    if host_pred and ((policy is not None and policy.want_pred) or any(
+            pp.inter_pred is not None for pp in pps_)):
         preds = np.zeros((total_h, pw), np.int32)
         for pp, off in zip(pps_, offs):
             if pp.inter_pred is not None:

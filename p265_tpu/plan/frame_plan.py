@@ -122,7 +122,8 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
         else:
             from p265_tpu.golden.recon import build_inter_pred
             inter_pred = build_inter_pred(plan, refs or {})
-    plan._needs_pred = bool(plan.pus or any(t.pcm for t in plan.tus))
+    plan._has_pcm = any(t.pcm for t in plan.tus)
+    plan._needs_pred = bool(plan.pus) or plan._has_pcm
     planes = []
     for p_idx in range(3):
         ph, pw = shapes[p_idx]

@@ -109,8 +109,11 @@ def _scan_plane_spatial(tu, idx_maps, sizes, c_idx, shape, hl, axis,
         # localize coordinates: plane row y -> ext row y - r0 + 1 (halo at 0)
         lpos = d["pos"].astype(jnp.int32)
         lpos = lpos.at[:, 0].add(1 - r0)
-        # the pad row must stay inside the local guard on every device
         lpos = lpos.at[:, 0].set(jnp.clip(lpos[:, 0], 0, hl + 1))
+        # pin the pad TU (last row) into the local guard on EVERY device --
+        # with padded blocks its global row can fall inside a real block
+        lpos = lpos.at[-1, 0].set(hl + 1)
+        lpos = lpos.at[-1, 1].set(0)
         lys = jnp.clip(d["ref_ys"].astype(jnp.int32) + (1 - r0), 0, hl)
         stacked[log2] = dict(
             pos=lpos[im], ref_ys=lys[im],
@@ -142,11 +145,20 @@ def _scan_plane_spatial(tu, idx_maps, sizes, c_idx, shape, hl, axis,
     return ext[1:1 + hl][None]                    # [1, hl, pw] local rows
 
 
+def _block_rows(ph: int, n_dev: int, align: int) -> int:
+    """CTU-aligned per-device row-block height covering a plane of ph rows
+    (real pictures are rarely n_dev*CTU multiples -- 1080 rows = 16.875
+    CTUs -- so the shard wrappers pad to hl*n_dev and slice the result)."""
+    return align * -(-ph // (n_dev * align))
+
+
 def reconstruct_spatial(tplan, mesh: Mesh, axis: str = "space",
                         pred_planes: list | None = None) -> list:
     """Row-sharded Stage-B reconstruction of ONE picture over mesh[axis].
 
     Returns [y, cb, cr] numpy planes, bit-exact vs reconstruct_tpu_scan.
+    Works on any picture geometry: row blocks are padded up to CTU-aligned
+    heights (trailing devices own empty rows) and the output is sliced back.
     pred_planes: optional [3] MC prediction planes (e.g. from mc_spatial);
     defaults to the tensor plan's own inter_pred."""
     n_dev = mesh.shape[axis]
@@ -155,10 +167,7 @@ def reconstruct_spatial(tplan, mesh: Mesh, axis: str = "space",
     flat_in, in_specs, plane_meta = [], [], []
     for p_idx, pp in enumerate(tplan.planes):
         ph, pw = pp.shape
-        assert ph % n_dev == 0, (ph, n_dev)
-        hl = ph // n_dev
-        assert hl % (ctb if p_idx == 0 else ctb >> 1) == 0, \
-            "row blocks must be CTU-aligned"
+        hl = _block_rows(ph, n_dev, ctb if p_idx == 0 else ctb >> 1)
         n_steps, stacked = _stack_plane(pp, pallas=False)
         sizes = tuple(sorted(pp.batches.keys()))
         tu = {log2: {k: jnp.asarray(v) for k, v in d.items()
@@ -167,9 +176,13 @@ def reconstruct_spatial(tplan, mesh: Mesh, axis: str = "space",
         dmaps = {log2: jnp.asarray(m) for log2, m in
                  _device_idx_maps(stacked, n_steps, hl, n_dev).items()}
         pred = pp.inter_pred if pred_planes is None else pred_planes[p_idx]
-        pred_dev = (None if pred is None
-                    else jnp.asarray(np.asarray(pred, np.int32))
-                    .reshape(n_dev, hl, pw))
+        if pred is None:
+            pred_dev = None
+        else:
+            pr = np.asarray(pred, np.int32)
+            if pr.shape[0] < n_dev * hl:
+                pr = np.pad(pr, ((0, n_dev * hl - pr.shape[0]), (0, 0)))
+            pred_dev = jnp.asarray(pr.reshape(n_dev, hl, pw))
         flat_in += [tu, dmaps] + ([pred_dev] if pred_dev is not None else [])
         in_specs += [jax.tree.map(lambda _: P(), tu,
                                   is_leaf=lambda l: hasattr(l, "shape")),
@@ -196,7 +209,7 @@ def reconstruct_spatial(tplan, mesh: Mesh, axis: str = "space",
     fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
                        out_specs=(P(axis),) * 3, check_vma=False)
     outs = jax.jit(fn)(*flat_in)
-    return [np.asarray(o).reshape(pp.shape)
+    return [np.asarray(o).reshape(-1, pp.shape[1])[:pp.shape[0]]
             for o, pp in zip(outs, tplan.planes)]
 
 
