@@ -66,17 +66,22 @@ def sao_sharded(plan: FramePlan, planes: list, mesh: Mesh,
             outs.append(plane)
             continue
         H, W = plane.shape
-        assert H % n == 0, "plane rows must divide the mesh axis"
         ty_g, cls_g, offs_g = _sao_maps(plan, c)
         ctb = plan.sps.ctb_size if c == 0 else plan.sps.ctb_size >> 1
+        hl = -(-H // (n * 8)) * 8      # pad row blocks onto an 8-row grid
+
+        def pad_rows(a):
+            if a.shape[0] < n * hl:
+                a = np.pad(a, ((0, n * hl - a.shape[0]), (0, 0)))
+            return a
 
         def expand(m):
             e = np.repeat(np.repeat(m, ctb, axis=0), ctb, axis=1)
-            return e[:H, :W].astype(np.int32)
+            return pad_rows(e[:H, :W].astype(np.int32))
 
         ty, cls = expand(ty_g), expand(cls_g)
         offs = [expand(offs_g[i]) for i in range(4)]
-        hl = H // n
+        plane = pad_rows(plane)
 
         def body(local, tyl, clsl, o0, o1, o2, o3):
             row0 = jax.lax.axis_index(axis) * hl
@@ -87,5 +92,5 @@ def sao_sharded(plan: FramePlan, planes: list, mesh: Mesh,
                            out_specs=spec, check_vma=False)
         out = jax.jit(fn)(jnp.asarray(plane), jnp.asarray(ty),
                           jnp.asarray(cls), *(jnp.asarray(o) for o in offs))
-        outs.append(np.asarray(out))
+        outs.append(np.asarray(out)[:H])
     return outs

@@ -218,15 +218,23 @@ def reconstruct_spatial(tplan, mesh: Mesh, axis: str = "space",
 # ---------------------------------------------------------------------------
 
 
-def shard_refs(refs: dict, mesh: Mesh, axis: str = "space"):
+def shard_refs(refs: dict, mesh: Mesh, axis: str = "space",
+               pad_rows: list | None = None):
     """Place DPB reference planes row-sharded over mesh[axis].
 
     refs: {poc: [y, cb, cr]} -> (poc_list, [3] device arrays
-    [n_refs, H(c), W(c)] with the row dim sharded)."""
+    [n_refs, H(c), W(c)] with the row dim sharded).
+
+    pad_rows: optional [3] per-component row targets (multiples of the mesh
+    size).  Padding REPLICATES the last row, so the MC gather's edge clamp
+    to the padded height reads exactly the spec's edge-extended samples."""
     poc_list = sorted(refs.keys())
     stacks = []
     for c in range(3):
         stack = np.stack([np.asarray(refs[p][c], np.int32) for p in poc_list])
+        if pad_rows is not None and stack.shape[1] < pad_rows[c]:
+            stack = np.pad(stack, ((0, 0), (0, pad_rows[c] - stack.shape[1]),
+                                   (0, 0)), mode="edge")
         sh = NamedSharding(mesh, P(None, axis, None))
         stacks.append(jax.device_put(stack, sh))
     return poc_list, stacks
@@ -274,7 +282,10 @@ def mc_spatial(plan: FramePlan, refs: dict, mesh: Mesh,
     n_dev = mesh.shape[axis]
     sps = plan.sps
     w, h = sps.pic_width, sps.pic_height
-    poc_list, stacks = shard_refs(refs, mesh, axis)
+    hls = [_block_rows(h, n_dev, 8), _block_rows(h >> 1, n_dev, 8)]
+    poc_list, stacks = shard_refs(refs, mesh, axis,
+                                  pad_rows=[hls[0] * n_dev,
+                                            hls[1] * n_dev, hls[1] * n_dev])
     poc_index = {p: i for i, p in enumerate(poc_list)}
     out = []
     for c in range(3):
@@ -283,8 +294,7 @@ def mc_spatial(plan: FramePlan, refs: dict, mesh: Mesh,
         if ba is None:
             out.append(np.zeros(shape, np.int32))
             continue
-        hl = shape[0] // n_dev
-        assert shape[0] % n_dev == 0
+        hl = hls[min(c, 1)]
         parts = _partition_blocks(ba, hl, n_dev)
         block, taps = ba["block"], ba["taps"]
         n_refs = len(poc_list)
@@ -315,7 +325,7 @@ def mc_spatial(plan: FramePlan, refs: dict, mesh: Mesh,
         fn = jax.shard_map(body, mesh=mesh, in_specs=specs,
                            out_specs=P(axis), check_vma=False)
         res = jax.jit(fn)(*args)
-        out.append(np.asarray(res).reshape(shape))
+        out.append(np.asarray(res).reshape(-1, shape[1])[:shape[0]])
     stamp_pcm(plan, out)
     return out
 
@@ -378,9 +388,9 @@ def deblock_spatial(plan: FramePlan, planes: list, mesh: Mesh,
     n_dev = mesh.shape[axis]
     H, W = planes[0].shape
     Hc, Wc = planes[1].shape
-    assert H % n_dev == 0 and Hc % n_dev == 0
-    hl, hc = H // n_dev, Hc // n_dev
-    assert hl % 8 == 0 and hc % 8 == 0, "blocks must sit on the deblock grid"
+    # pad row blocks onto the 8-row deblock grid; padded rows carry zeroed
+    # edge params (no edge exists at row > H-8), so values there are inert
+    hl, hc = _block_rows(H, n_dev, 8), _block_rows(Hc, n_dev, 8)
 
     bs_v, beta_v, tc_v = luma_edge_params(plan, vertical=True)
     tcb_v, tcr_v = chroma_edge_params(plan, vertical=True)
@@ -409,7 +419,11 @@ def deblock_spatial(plan: FramePlan, planes: list, mesh: Mesh,
         return y[None], cb[None], cr[None]
 
     def dev_split(a, rows):
-        return jnp.asarray(np.asarray(a).reshape(n_dev, rows, -1))
+        a = np.asarray(a)
+        need = n_dev * rows
+        if a.shape[0] < need:
+            a = np.pad(a, ((0, need - a.shape[0]), (0, 0)))
+        return jnp.asarray(a.reshape(n_dev, rows, -1))
 
     args = (dev_split(np.asarray(planes[0], np.int32), hl),
             dev_split(np.asarray(planes[1], np.int32), hc),
@@ -422,8 +436,9 @@ def deblock_spatial(plan: FramePlan, planes: list, mesh: Mesh,
     fn = jax.shard_map(body, mesh=mesh, in_specs=(P(axis),) * len(args),
                        out_specs=(P(axis),) * 3, check_vma=False)
     y, cb, cr = jax.jit(fn)(*args)
-    return [np.asarray(y).reshape(H, W), np.asarray(cb).reshape(Hc, Wc),
-            np.asarray(cr).reshape(Hc, Wc)]
+    return [np.asarray(y).reshape(-1, W)[:H],
+            np.asarray(cb).reshape(-1, Wc)[:Hc],
+            np.asarray(cr).reshape(-1, Wc)[:Hc]]
 
 
 def loop_filters_spatial(plan: FramePlan, planes: list, mesh: Mesh,
