@@ -1,0 +1,42 @@
+"""Persistent XLA compilation cache (VERDICT.md round 3, missing #3).
+
+Cold compile of the 1080p production program costs ~10 s even with
+compiler-friendly pow2 shapes; without a persistent cache every process pays
+it again.  Enabling jax's on-disk compilation cache makes every compile of a
+previously-seen program geometry a ~second disk load instead.
+
+Call enable_persistent_cache() before the first device dispatch (TpuDecoder
+does this automatically).  Safe to call repeatedly and on any backend; all
+failures degrade to "no cache" silently.
+"""
+from __future__ import annotations
+
+import os
+
+_ENABLED = False
+
+
+def enable_persistent_cache(path: str | None = None) -> bool:
+    """Point jax at an on-disk compilation cache directory.
+
+    Default location: $P265_TPU_COMPILE_CACHE, else ~/.cache/p265_tpu_xla.
+    Returns True if the cache is (now) enabled."""
+    global _ENABLED
+    if _ENABLED:
+        return True
+    if os.environ.get("P265_TPU_COMPILE_CACHE", "") == "off":
+        return False
+    path = path or os.environ.get(
+        "P265_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "p265_tpu_xla"))
+    try:
+        import jax
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that took >1s to compile, regardless of size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _ENABLED = True
+    except Exception:
+        return False
+    return True

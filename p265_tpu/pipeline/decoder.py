@@ -37,6 +37,8 @@ class TpuDecoder(DecoderBase):
                  calibrate_frames: int = 16):
         super().__init__(apply_filters=apply_filters,
                          use_native_parse=use_native_parse)
+        from p265_tpu.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
         self.use_mxu = use_mxu
         self.filters_on_device = filters_on_device
         self.fused = fused and apply_filters and filters_on_device
