@@ -81,15 +81,18 @@ def _angular(main, side, angle, inv, size):
 
 
 @functools.partial(jax.jit, static_argnames=("size", "c_idx"))
-def predict_batch(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
-                  strong_allowed, residual, size: int, c_idx: int,
-                  inter=None, pred_plane=None, dc_edge=None):
-    """One wavefront step for one size bucket.
+def predict_values(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
+                   strong_allowed, residual, size: int, c_idx: int,
+                   inter=None, pred_plane=None, dc_edge=None):
+    """One wavefront step for one size bucket, WITHOUT the plane scatter.
 
     plane: [Hpad, W] int32 current recon (device)
     pos: [n, 2] (y, x); ref_*: [n, 2*(2s+1)]; mode: [n]; residual: [n, s, s]
     inter: [n] bool -> prediction gathered from pred_plane instead of intra.
-    Returns updated plane.
+    Returns (rows, cols, out): the reconstructed sample block per TU plus its
+    scatter coordinates -- the caller merges all size buckets of a step into
+    ONE flat scatter (4x fewer scatter ops per scan step; the scatter is the
+    dominant per-step cost at 1080p, profiling/probe_scan_variants.py).
     """
     s = size
     nref = 2 * s + 1
@@ -158,4 +161,16 @@ def predict_batch(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
         mc = pred_plane[rows, cols]
         pred = jnp.where(inter[:, None, None], mc, pred)
     out = jnp.clip(pred + residual, 0, 255)
+    return rows, cols, out
+
+
+@functools.partial(jax.jit, static_argnames=("size", "c_idx"))
+def predict_batch(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
+                  strong_allowed, residual, size: int, c_idx: int,
+                  inter=None, pred_plane=None, dc_edge=None):
+    """predict_values + the plane scatter (single-bucket convenience)."""
+    rows, cols, out = predict_values.__wrapped__(
+        plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
+        strong_allowed, residual, size, c_idx, inter=inter,
+        pred_plane=pred_plane, dc_edge=dc_edge)
     return plane.at[rows, cols].set(out)

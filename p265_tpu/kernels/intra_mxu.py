@@ -135,10 +135,12 @@ def _a_bf16(size: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("size", "c_idx"))
-def predict_batch_mxu(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
-                      strong_allowed, residual, size: int, c_idx: int,
-                      inter=None, pred_plane=None, dc_edge=None):
-    """Drop-in replacement for kernels/intra.predict_batch (same contract).
+def predict_values_mxu(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
+                       strong_allowed, residual, size: int, c_idx: int,
+                       inter=None, pred_plane=None, dc_edge=None):
+    """kernels/intra.predict_values with the MXU matmul formulation: returns
+    (rows, cols, out) so the caller can merge all buckets of a wavefront
+    step into one flat scatter.
 
     dc_edge: optional [n] bool -- per-TU gate for the luma DC/10/26 edge
     filters, enabling mixed luma+chroma batches (c_idx=0 with per-TU flags).
@@ -194,4 +196,17 @@ def predict_batch_mxu(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
         mc = pred_plane[rows, cols]
         pred = jnp.where(inter[:, None, None], mc, pred)
     out = jnp.clip(pred + residual, 0, 255)
+    return rows, cols, out
+
+
+@functools.partial(jax.jit, static_argnames=("size", "c_idx"))
+def predict_batch_mxu(plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
+                      strong_allowed, residual, size: int, c_idx: int,
+                      inter=None, pred_plane=None, dc_edge=None):
+    """Drop-in replacement for kernels/intra.predict_batch (same contract):
+    predict_values_mxu + the plane scatter."""
+    rows, cols, out = predict_values_mxu.__wrapped__(
+        plane, pos, ref_ys, ref_xs, ref_ok, mode, filter_flag,
+        strong_allowed, residual, size, c_idx, inter=inter,
+        pred_plane=pred_plane, dc_edge=dc_edge)
     return plane.at[rows, cols].set(out)

@@ -487,18 +487,29 @@ def _pscan_default(interpret: bool):
 
 def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
                         pscan: bool | None = None, interpret: bool = False,
-                        policy=None, mc=None, refs=None):
+                        policy=None, mc=None, refs=None, stats=None):
     """F frame plans -> (pre_luma [F,H,W]u8, pre_chroma [2F]..., luma, chroma)
     device arrays via one dispatch (a few per-dtype uploads).
 
     mc + refs: fused-MC inputs (see _build_batch); refs is a 3-tuple of
-    equal-length tuples of device uint8 reference planes (y, cb, cr)."""
+    equal-length tuples of device uint8 reference planes (y, cb, cr).
+    stats: optional dict accumulating pack_s / upload_s / dispatch_s."""
+    import time as _time
     if pscan is None:
         pscan = _pscan_default(interpret)
+    t0 = _time.perf_counter()
     bufs, meta = _build_batch(tplans, plans, pscan=pscan, policy=policy,
                               mc=mc)
-    return _decode_batch_jit(tuple(jnp.asarray(b) for b in bufs), meta,
-                             use_mxu, pscan, interpret, refs=refs)
+    t1 = _time.perf_counter()
+    dbufs = tuple(jnp.asarray(b) for b in bufs)
+    t2 = _time.perf_counter()
+    out = _decode_batch_jit(dbufs, meta, use_mxu, pscan, interpret, refs=refs)
+    if stats is not None:
+        t3 = _time.perf_counter()
+        stats["pack_s"] = stats.get("pack_s", 0.0) + (t1 - t0)
+        stats["upload_s"] = stats.get("upload_s", 0.0) + (t2 - t1)
+        stats["dispatch_s"] = stats.get("dispatch_s", 0.0) + (t3 - t2)
+    return out
 
 
 def decode_batch(tplans: list, plans: list, use_mxu: bool = True,

@@ -112,12 +112,17 @@ class TpuDecoder(DecoderBase):
         from p265_tpu.pipeline.batch_decode import decode_batch_planes
         pl, pc, fl, fc = decode_batch_planes(
             [tplan], [plan], use_mxu=self.use_mxu, policy=pol,
-            mc=mc_in, refs=refs_in)
+            mc=mc_in, refs=refs_in, stats=self.stats)
         pic.planes = [fl[0], fc[0], fc[1]]        # device uint8 DPB slabs
-        frame.prefilter = [np.asarray(pl[0], np.int32),
-                           np.asarray(pc[0], np.int32),
-                           np.asarray(pc[1], np.int32)]
+        t2 = _time.perf_counter()
+        # prefilter planes stay ON DEVICE: only tests/debug tooling read
+        # them, and fetching 3 more planes through the axon tunnel costs
+        # ~130 ms/frame at 1080p; np.asarray()/np.array_equal on the device
+        # array fetches lazily for consumers that do want the pixels
+        frame.prefilter = [pl[0], pc[0], pc[1]]
         frame.planes = [np.asarray(p, np.int32) for p in pic.planes]
+        self.stats["fetch_s"] = (self.stats.get("fetch_s", 0.0)
+                                 + _time.perf_counter() - t2)
         self.stats["recon_s"] += _time.perf_counter() - t1
 
     def _ref_stacks(self, refs: dict, poc_list: list, n_refs: int):

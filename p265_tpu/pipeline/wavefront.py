@@ -28,8 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from p265_tpu.kernels.intra import predict_batch
-from p265_tpu.kernels.intra_mxu import predict_batch_mxu
+from p265_tpu.kernels.intra import predict_values
+from p265_tpu.kernels.intra_mxu import predict_values_mxu
 from p265_tpu.kernels.itransform import batch_residual
 
 USE_MXU_INTRA = True  # matmul-formulated intra predictor (kernels/intra_mxu)
@@ -113,7 +113,11 @@ class ShapePolicy:
         return _pow2(n, lo=lo)
 
     def steps(self, needed: int) -> int:
-        self._steps = max(self._steps, self._ladder(max(needed, 1)))
+        # steps is the scan TRIP COUNT: runtime scales linearly with it, so
+        # quantize to 128-multiples (still stream-stable via running max)
+        # rather than pow2 -- at 1080p real 1411 steps, pow2 pads to 2048
+        # (+45% scan time) while 1536 costs +9%.
+        self._steps = max(self._steps, _round_up(max(needed, 1), 128))
         return self._steps
 
     def cap(self, log2: int, needed: int) -> int:
@@ -387,16 +391,28 @@ def _scan_plane(stacked, sizes, c_idx, shape, pred_plane, init_plane=None):
         pred_pad = pred_pad.at[:ph, :pw].set(pred_plane[:ph, :pw])
 
     def body(plane, step_data):
-        pred_fn = (predict_batch_mxu if USE_MXU_INTRA else predict_batch)
+        # TUs of one wavefront step are independent across size buckets
+        # (step = 1 + max producer step), so every bucket predicts from the
+        # SAME pre-step plane and all blocks land in ONE flat scatter --
+        # the scatter is the dominant per-step cost at 1080p and merging
+        # cuts the chained-scatter count 4x (probe_scan_variants.py:
+        # 942 ms -> 465 ms for a 1080p intra frame).
+        pred_fn = (predict_values_mxu if USE_MXU_INTRA else predict_values)
+        pw = plane.shape[1]
+        flat_idx, flat_val = [], []
         for log2 in sizes:
             d = step_data[log2]
-            plane = pred_fn.__wrapped__(
+            rows, cols, out = pred_fn.__wrapped__(
                 plane, d["pos"], d["ref_ys"], d["ref_xs"], d["ref_ok"],
                 d["mode"], d["filter_flag"], d["strong_allowed"],
                 d["residual"], 1 << log2, c_idx,
                 inter=d["inter"] if has_inter else None,
                 pred_plane=pred_pad if has_inter else None,
                 dc_edge=d["dc_edge"])
+            flat_idx.append((rows * pw + cols).reshape(-1))
+            flat_val.append(out.reshape(-1))
+        plane = plane.reshape(-1).at[jnp.concatenate(flat_idx)].set(
+            jnp.concatenate(flat_val)).reshape(plane.shape)
         return plane, None
 
     plane, _ = jax.lax.scan(body, plane, stacked)
