@@ -298,7 +298,10 @@ class DecoderBase:
         poc = pic_st["poc"]
         ns = getattr(plan, "nstate", None)
         if ns is not None:
-            ns.finalize(plan)  # convert native SAO records
+            # convert native SAO records + replay motion syntax into
+            # plan.pus / the MotionCtx grids (TMVP of later pictures reads
+            # mctx.mv below, so this must happen before the col snapshot)
+            ns.finalize(plan, mctx)
         frame = DecodedFrame(poc, None, None, plan)
         pic = Picture(poc, None,
                       is_reference=nal.is_reference_nal(pic_st["nal_type"]))

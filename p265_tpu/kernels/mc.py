@@ -57,9 +57,14 @@ def _mc_blocks(refs, pos, ref_idx, mv, frac_filters, block: int, taps: int,
 
 
 def _combine(p0, p1, has_l1, w_params):
-    """uni/bi (+ explicit weighted) combination -> 8-bit samples."""
+    """uni/bi (+ explicit weighted) combination -> 8-bit samples.
+
+    p1 may be None (stream proven uni-directional by the ShapePolicy): the
+    bi path is then dropped from the compiled program entirely."""
     if w_params is None:
         uni = jnp.clip((p0 + (1 << 5)) >> 6, 0, 255)
+        if p1 is None:
+            return uni
         bi = jnp.clip((p0 + p1 + (1 << 6)) >> 7, 0, 255)
         return jnp.where(has_l1[:, None, None], bi, uni)
     w0, o0, w1, o1, log2_wd = w_params   # [n] each; log2_wd [n]
@@ -67,6 +72,8 @@ def _combine(p0, p1, has_l1, w_params):
     pu = (p0 * w0[:, None, None]
           + (1 << (shift_u - 1))[:, None, None]) >> shift_u[:, None, None]
     uni = jnp.clip(pu + o0[:, None, None], 0, 255)
+    if p1 is None:
+        return uni
     sb = (p0 * w0[:, None, None] + p1 * w1[:, None, None]
           + ((o0 + o1 + 1)[:, None, None] << (log2_wd + 6)[:, None, None]))
     bi = jnp.clip(sb >> (log2_wd + 7)[:, None, None], 0, 255)
@@ -80,34 +87,81 @@ def _combine(p0, p1, has_l1, w_params):
 # ---------------------------------------------------------------------------
 
 
-def mc_pred_plane(ref_planes, pos, r0, r1, mv0, mv1, has1,
-                  wp, shape: tuple, taps: int):
+# MC block-size buckets: each inter PU is greedily tiled with the LARGEST
+# fitting square blocks.  A (B+taps-1)^2 reference window serves a BxB
+# block, so tiny blocks overfetch brutally (4x4 luma: 7.6x); bucketing cuts
+# the dominant gather volume ~4x at 1080p while keeping shapes static.
+LUMA_BUCKETS = (16, 8, 4)
+CHROMA_BUCKETS = (8, 4, 2)
+
+
+def mc_pred_plane(ref_planes, buckets, shape: tuple, taps: int,
+                  has_bi: bool, wp_key: str):
     """Traced: one component's MC prediction plane, inside the fused program.
 
     ref_planes: [n_refs, H, W] uint8 (device-resident DPB slabs)
-    pos [n,2] (y,x); r0/r1 [n]; mv0/mv1 [n,2]; has1 [n] bool
-    wp: (w0, o0, w1, o1, log2_wd) per-block int32 -- identity weights
-    (w=1, o=0, log2_wd=0) reproduce the unweighted rounding bit-exactly,
-    so ONE code path serves WP and non-WP slices.
-    Pad blocks carry pos=(H, 0): every scatter row is out of bounds and
-    mode='drop' discards them.
+    buckets: {block_size: dict} with pos [n,2] (y,x), r0/r1 [n], mv0/mv1
+    [n,2], has1 [n] bool, and wp_<k> [n,5] weight rows -- identity weights
+    (w=1, o=0, log2_wd=0) reproduce the unweighted rounding bit-exactly, so
+    ONE code path serves WP and non-WP slices.
+    has_bi: static -- False drops the second-list interpolation + bi combine
+    from the program (uni-only streams pay for one gather, not two).
+    Pad blocks carry pos=(H, 0): every scatter row lands out of bounds of
+    the flattened plane and mode='drop' discards it.
     """
-    block = BL if taps == 8 else BC
     fmask = 3 if taps == 8 else 7
     filt = jnp.asarray(LUMA_FILTER if taps == 8 else CHROMA_FILTER,
                        jnp.int32)
     refs = ref_planes.astype(jnp.int32)
-    f0 = jnp.stack([filt[mv0[:, 0] & fmask], filt[mv0[:, 1] & fmask]], 1)
-    f1 = jnp.stack([filt[mv1[:, 0] & fmask], filt[mv1[:, 1] & fmask]], 1)
-    p0 = _mc_blocks.__wrapped__(refs, pos, r0, mv0, f0, block, taps,
-                                refs.shape[0])
-    p1 = _mc_blocks.__wrapped__(refs, pos, r1, mv1, f1, block, taps,
-                                refs.shape[0])
-    samp = _combine(p0, p1, has1, tuple(wp))
-    plane = jnp.zeros(shape, jnp.int32)
-    rows = pos[:, 0][:, None, None] + jnp.arange(block)[None, :, None]
-    cols = pos[:, 1][:, None, None] + jnp.arange(block)[None, None, :]
-    return plane.at[rows, cols].set(samp, mode="drop")
+    H, W = shape
+    flat_idx, flat_val = [], []
+    for block in sorted(buckets, reverse=True):
+        d = buckets[block]
+        pos, mv0 = d["pos"], d["mv0"]
+        f0 = jnp.stack([filt[mv0[:, 0] & fmask], filt[mv0[:, 1] & fmask]], 1)
+        p0 = _mc_blocks.__wrapped__(refs, pos, d["r0"], mv0, f0, block,
+                                    taps, refs.shape[0])
+        p1 = None
+        if has_bi:
+            mv1 = d["mv1"]
+            f1 = jnp.stack([filt[mv1[:, 0] & fmask],
+                            filt[mv1[:, 1] & fmask]], 1)
+            p1 = _mc_blocks.__wrapped__(refs, pos, d["r1"], mv1, f1, block,
+                                        taps, refs.shape[0])
+        wp = tuple(d[wp_key][:, k] for k in range(5))
+        samp = _combine(p0, p1, d["has1"], wp)
+        rows = pos[:, 0][:, None, None] + jnp.arange(block)[None, :, None]
+        cols = pos[:, 1][:, None, None] + jnp.arange(block)[None, None, :]
+        flat_idx.append((rows * W + cols).reshape(-1))
+        flat_val.append(samp.reshape(-1))
+    plane = jnp.zeros(H * W, jnp.int32)
+    plane = plane.at[jnp.concatenate(flat_idx)].set(
+        jnp.concatenate(flat_val), mode="drop")
+    return plane.reshape(shape)
+
+
+def _tile_pu(x0: int, y0: int, w: int, h: int, sizes) -> list:
+    """Greedy largest-square tiling of one PU rectangle -> [(y, x, size)].
+    w/h are multiples of sizes[-1]; sizes are descending powers of two."""
+    def decomp(n):
+        segs = []
+        for s in sizes:
+            k = n // s
+            segs.extend([s] * k)
+            n -= k * s
+        return segs
+    out = []
+    yo = 0
+    for sy in decomp(h):
+        xo = 0
+        for sx in decomp(w):
+            s = min(sx, sy)
+            for dy in range(0, sy, s):
+                for dx in range(0, sx, s):
+                    out.append((y0 + yo + dy, x0 + xo + dx, s))
+            xo += sx
+        yo += sy
+    return out
 
 
 def _expand_blocks(xs, ys, ws, hs, B: int):
@@ -125,38 +179,40 @@ def _expand_blocks(xs, ys, ws, hs, B: int):
 
 
 def mc_arrays_padded(plan, poc_index: dict, pad_rows: dict):
-    """Host: all inter PUs -> policy-padded MC block arrays for the fused
-    program.  Returns {"y": {...}, "c": {...}} (chroma cb/cr share geometry;
-    weights are per-component: wp_1 for cb, wp_2 for cr; luma wp_0).
+    """Host: all inter PUs -> policy-padded, size-bucketed MC block arrays
+    for the fused program.  Returns {"y": {block: {...}}, "c": {...}}
+    (chroma cb/cr share geometry; weights are per-component: wp_1 for cb,
+    wp_2 for cr; luma wp_0).
 
-    pad_rows: {"y": n, "c": n} target row counts (ShapePolicy ladder)."""
+    pad_rows: {"y16": n, "y8": n, ..., "c2": n} per-bucket target row
+    counts (ShapePolicy ladder)."""
     pus = plan.pus
     npu = len(pus)
+
+    def pad_only(grp, block, ph):
+        tgt = pad_rows[f"{grp}{block}"]
+        d = dict(pos=np.full((tgt, 2), 0, np.int32),
+                 mv0=np.zeros((tgt, 2), np.int32),
+                 mv1=np.zeros((tgt, 2), np.int32),
+                 r0=np.zeros(tgt, np.int32),
+                 r1=np.zeros(tgt, np.int32),
+                 has1=np.zeros(tgt, bool))
+        d["pos"][:] = (ph, 0)
+        wp = np.zeros((tgt, 5), np.int32)
+        wp[:, 0] = wp[:, 2] = 1
+        if grp == "y":
+            d["wp_0"] = wp
+        else:
+            d["wp_1"], d["wp_2"] = wp, wp.copy()
+        return d
+
     if npu == 0:
         # I picture inside a fused-MC stream: all-pad arrays, same program
-        out = {}
-        for grp, ph in (("y", plan.sps.pic_height),
-                        ("c", plan.sps.pic_height >> 1)):
-            tgt = pad_rows[grp]
-            d = dict(pos=np.full((tgt, 2), 0, np.int32),
-                     mv0=np.zeros((tgt, 2), np.int32),
-                     mv1=np.zeros((tgt, 2), np.int32),
-                     r0=np.zeros(tgt, np.int32),
-                     r1=np.zeros(tgt, np.int32),
-                     has1=np.zeros(tgt, bool))
-            d["pos"][:] = (ph, 0)
-            wp = np.zeros((tgt, 5), np.int32)
-            wp[:, 0] = wp[:, 2] = 1
-            if grp == "y":
-                d["wp_0"] = wp
-            else:
-                d["wp_1"], d["wp_2"] = wp, wp.copy()
-            out[grp] = d
-        return out
-    x = np.array([p.x for p in pus], np.int32)
-    y = np.array([p.y for p in pus], np.int32)
-    w = np.array([p.w for p in pus], np.int32)
-    h = np.array([p.h for p in pus], np.int32)
+        return {grp: {b: pad_only(grp, b, ph) for b in sizes}
+                for grp, sizes, ph in
+                (("y", LUMA_BUCKETS, plan.sps.pic_height),
+                 ("c", CHROMA_BUCKETS, plan.sps.pic_height >> 1))}
+
     uses1 = np.array([p.motion.uses(1) for p in pus], bool)
     uses0 = np.array([p.motion.uses(0) for p in pus], bool)
     l0 = np.where(uses0, 0, 1)                   # first used list per PU
@@ -172,6 +228,8 @@ def mc_arrays_padded(plan, poc_index: dict, pad_rows: dict):
     mv0 = mv[np.arange(npu), l0]
     r0 = ar[np.arange(npu), l0]
     has1 = uses0 & uses1
+    mv1 = np.where(has1[:, None], mv[:, 1], 0).astype(np.int32)
+    r1 = np.where(has1, ar[:, 1], 0).astype(np.int32)
 
     wt = None
     if ((plan.pps.weighted_pred and plan.sh.slice_type == 1)
@@ -183,7 +241,6 @@ def mc_arrays_padded(plan, poc_index: dict, pad_rows: dict):
     wp_pu[:, :, 2] = 1   # w1
     if wt is not None:
         for i, p in enumerate(pus):
-            m = p.motion
             for c in range(3):
                 denom = wt.luma_log2_denom if c == 0 else wt.chroma_log2_denom
                 lwd = denom + (14 - BIT_DEPTH) - 6
@@ -196,48 +253,64 @@ def mc_arrays_padded(plan, poc_index: dict, pad_rows: dict):
                     wp_pu[c, i, 2], wp_pu[c, i, 3] = e1[off], e1[off + 1]
 
     out = {}
-    for grp, B, ph in (("y", BL, plan.sps.pic_height),
-                       ("c", BC, plan.sps.pic_height >> 1)):
-        if grp == "y":
-            pu_of, pos = _expand_blocks(x, y, w, h, B)
-        else:
-            pu_of, pos = _expand_blocks(x >> 1, y >> 1, w >> 1, h >> 1, B)
-        n = len(pu_of)
-        tgt = pad_rows[grp]
-        assert tgt >= n, (grp, tgt, n)
+    for grp, sizes, ph in (("y", LUMA_BUCKETS, plan.sps.pic_height),
+                           ("c", CHROMA_BUCKETS, plan.sps.pic_height >> 1)):
+        tiles = {b: [] for b in sizes}   # per bucket: (y, x, pu_idx)
+        for i, p in enumerate(pus):
+            if grp == "y":
+                rect = (p.x, p.y, p.w, p.h)
+            else:
+                rect = (p.x >> 1, p.y >> 1, p.w >> 1, p.h >> 1)
+            for (ty, tx, s) in _tile_pu(rect[0], rect[1], rect[2], rect[3],
+                                        sizes):
+                tiles[s].append((ty, tx, i))
+        out[grp] = {}
+        for b in sizes:
+            rows = tiles[b]
+            n = len(rows)
+            tgt = pad_rows[f"{grp}{b}"]
+            assert tgt >= n, (grp, b, tgt, n)
+            if n == 0:
+                out[grp][b] = pad_only(grp, b, ph)
+                continue
+            pos = np.array([(r[0], r[1]) for r in rows], np.int32)
+            pu_of = np.array([r[2] for r in rows], np.int32)
 
-        def padded(a, fill=0):
-            full = np.full((tgt,) + a.shape[1:], fill, a.dtype)
-            full[:n] = a
-            return full
+            def padded(a, fill=0):
+                full = np.full((tgt,) + a.shape[1:], fill, a.dtype)
+                full[:n] = a
+                return full
 
-        d = dict(
-            pos=padded(pos),
-            mv0=padded(mv0[pu_of]),
-            mv1=padded(np.where(has1[pu_of, None], mv[pu_of, 1], 0)
-                       .astype(np.int32)),
-            r0=padded(r0[pu_of]),
-            r1=padded(np.where(has1[pu_of], ar[pu_of, 1], 0)
-                      .astype(np.int32)),
-            has1=padded(has1[pu_of]),
-        )
-        d["pos"][n:] = (ph, 0)   # pad blocks scatter out of bounds -> dropped
-        if grp == "y":
-            d["wp_0"] = padded(wp_pu[0][pu_of])
-        else:
-            d["wp_1"] = padded(wp_pu[1][pu_of])
-            d["wp_2"] = padded(wp_pu[2][pu_of])
-        out[grp] = d
+            d = dict(
+                pos=padded(pos),
+                mv0=padded(mv0[pu_of]),
+                mv1=padded(mv1[pu_of]),
+                r0=padded(r0[pu_of]),
+                r1=padded(r1[pu_of]),
+                has1=padded(has1[pu_of]),
+            )
+            d["pos"][n:] = (ph, 0)   # pad blocks: out-of-bounds -> dropped
+            if grp == "y":
+                d["wp_0"] = padded(wp_pu[0][pu_of])
+            else:
+                d["wp_1"] = padded(wp_pu[1][pu_of])
+                d["wp_2"] = padded(wp_pu[2][pu_of])
+            out[grp][b] = d
     return out
 
 
 def mc_block_counts(plan) -> dict:
-    """Host: per-group MC block counts (for ShapePolicy calibration)."""
-    ny = nc = 0
+    """Host: per-bucket MC block counts (for ShapePolicy calibration)."""
+    out = {f"{grp}{b}": 0 for grp in ("y", "c")
+           for b in (LUMA_BUCKETS if grp == "y" else CHROMA_BUCKETS)}
     for p in plan.pus:
-        ny += (p.w // BL) * (p.h // BL)
-        nc += ((p.w >> 1) // BC) * ((p.h >> 1) // BC)
-    return {"y": ny, "c": nc}
+        for grp, sizes, rect in (
+                ("y", LUMA_BUCKETS, (p.x, p.y, p.w, p.h)),
+                ("c", CHROMA_BUCKETS,
+                 (p.x >> 1, p.y >> 1, p.w >> 1, p.h >> 1))):
+            for (_, _, s) in _tile_pu(*rect, sizes):
+                out[f"{grp}{s}"] += 1
+    return out
 
 
 def mc_block_arrays(plan, c: int, poc_index: dict):

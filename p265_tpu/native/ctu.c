@@ -63,8 +63,14 @@ typedef struct {
     /* slice */
     int slice_qp;
     int slice_idx;
-    int slice_type;          /* 2 = I (only type supported natively yet) */
+    int slice_type;          /* 0 = B, 1 = P, 2 = I */
     int sao_luma, sao_chroma;
+    /* inter-slice syntax parameters */
+    int max_merge_cand;
+    int num_ref_l0, num_ref_l1;
+    int mvd_l1_zero;
+    int amp_enabled;
+    int max_tt_depth_inter;
 } NParams;
 
 typedef struct {
@@ -116,6 +122,23 @@ typedef struct {
 #define F_IS_INTER 4
 #define F_BYPASS 8
 
+/* motion-syntax event stream (P/B slices): the C parser records per-CU and
+ * per-PU SYNTAX only -- merge/AMVP candidate derivation does not affect the
+ * bitstream, so it replays in Python afterwards (native/parse.py
+ * replay_motion), walking these events in z-order with its own availability
+ * grid to reproduce the parse-time neighborhood exactly. */
+#define EV_W 20
+#define EV_CU 0              /* [0, x0, y0, log2] (every CU, any pred mode) */
+#define EV_PU 1              /* [1, x, y, w, h, part, part_idx, merge,
+                                merge_idx, idc, ref0, ref1, mvd0x, mvd0y,
+                                mvd1x, mvd1y, mvp0, mvp1, max_cands, 0] */
+
+typedef struct {
+    int32_t *ev;             /* [cap, EV_W] */
+    int32_t count;
+    int32_t cap;
+} NEv;
+
 typedef struct {
     Cabac *c;
     const NParams *p;
@@ -124,11 +147,19 @@ typedef struct {
     NBucket *bk;             /* [12] */
     NPlane *pl;              /* [3] */
     int32_t *sao;            /* [num_ctbs * 20] */
+    NEv *ev;
     CtxOffsets rox;          /* residual_coding offsets view */
     const NCtx *ox;
     int cur_tile;
     int err;
 } Ctu;
+
+static inline int32_t *ev_push(Ctu *t) {
+    if (t->ev->count >= t->ev->cap) { t->err = 3; return NULL; }
+    int32_t *r = t->ev->ev + (size_t)t->ev->count++ * EV_W;
+    for (int i = 0; i < EV_W; i++) r[i] = 0;
+    return r;
+}
 
 /* ---------------------------------------------------------------- helpers */
 
@@ -232,6 +263,32 @@ static void emit_tu(Ctu *t, int p_idx, int x, int y, int log2, int mode,
     int idx = b->count++;
     int n41 = 4 * n + 1;
     int nref2 = 2 * (2 * n + 1);
+    if (flags & F_IS_INTER) {
+        /* MC prediction: no in-frame reference dependency -> step 1
+           (mirrors frame_plan.build_tensor_plan's is_inter branch) */
+        memset(b->ref_ys + (size_t)idx * nref2, 0, nref2 * 2);
+        memset(b->ref_xs + (size_t)idx * nref2, 0, nref2 * 2);
+        memset(b->ref_ok + (size_t)idx * nref2, 0, nref2);
+        memset(b->ok_scan + (size_t)idx * n41, 0, n41);
+        int32_t *me = b->meta + (size_t)idx * 8;
+        me[0] = y; me[1] = x; me[2] = 1; me[3] = mode;
+        me[4] = qp; me[5] = flags; me[6] = matrix_id; me[7] = 0;
+        int16_t *cf = b->coeffs + (size_t)idx * n * n;
+        if (levels) {
+            for (int i = 0; i < n * n; i++) cf[i] = (int16_t)levels[i];
+        } else {
+            memset(cf, 0, (size_t)n * n * 2);
+        }
+        int x1 = x + n; if (x1 > pw) x1 = pw;
+        int y1 = y + n; if (y1 > ph) y1 = ph;
+        for (int gy = y >> 2; gy < (y1 + 3) >> 2; gy++)
+            for (int gx = x >> 2; gx < (x1 + 3) >> 2; gx++) {
+                pl->tavail[gy * pw4 + gx] = 1;
+                pl->tstep[gy * pw4 + gx] = 1;
+            }
+        if (1 > pl->n_steps) pl->n_steps = 1;
+        return;
+    }
     /* search order: p[-1][2N-1]..p[-1][-1] (bottom-left upward), corner,
        p[0..2N-1][-1] (top, rightward) */
     int cx[4 * 32 + 1], cy[4 * 32 + 1];
@@ -320,21 +377,24 @@ static inline int scan_idx_of(int intra_mode, int log2, int c_idx) {
 }
 
 static void code_residual(Ctu *t, int x, int y, int log2, int c_idx,
-                          int mode, int qp, int cu_bypass) {
+                          int mode, int qp, int cu_bypass, int is_inter) {
     int scan = scan_idx_of(mode, log2, c_idx);
     int32_t levels[32 * 32];
     int r = residual_coding(t->c, &t->rox, log2, c_idx, scan,
                             t->p->transform_skip_enabled,
                             t->p->sign_data_hiding, cu_bypass, levels);
     if (r < 0) { t->err = 1; return; }
-    int mid = (log2 == 5) ? 0 : c_idx;   /* intra: is_inter = 0 */
-    int flags = (r ? F_TSKIP : 0) | (cu_bypass ? F_BYPASS : 0);
+    int mid = (log2 == 5) ? (is_inter ? 1 : 0)
+                          : 3 * (is_inter ? 1 : 0) + c_idx;
+    int flags = (r ? F_TSKIP : 0) | (cu_bypass ? F_BYPASS : 0)
+                | (is_inter ? F_IS_INTER : 0);
     emit_tu(t, c_idx, x, y, log2, mode, qp, flags, mid, levels);
 }
 
 static void pred_only(Ctu *t, int x, int y, int log2, int c_idx, int mode,
-                      int qp) {
-    emit_tu(t, c_idx, x, y, log2, mode, qp, F_PRED_ONLY, 0, NULL);
+                      int qp, int is_inter) {
+    emit_tu(t, c_idx, x, y, log2, mode, qp,
+            F_PRED_ONLY | (is_inter ? F_IS_INTER : 0), 0, NULL);
 }
 
 /* -- cu_qp_delta (7.3.8.10 / 9.3.3) --------------------------------------- */
@@ -359,18 +419,20 @@ static void transform_unit(Ctu *t, int x0, int y0, int x_base, int y_base,
                            int log2_size, int depth, int blk_idx,
                            const int *modes, int n_modes, int chroma_mode,
                            int cbf_luma, int cbf_cb, int cbf_cr,
-                           int cu_bypass) {
+                           int cu_bypass, int is_intra) {
     int lmode;
-    if (n_modes == 1) lmode = modes[0];
+    if (!is_intra) lmode = -1;
+    else if (n_modes == 1) lmode = modes[0];
     else lmode = (depth == 1) ? modes[blk_idx] : modes[0];
     if (t->p->cu_qp_delta_enabled && !t->q->delta_coded
         && (cbf_luma || cbf_cb || cbf_cr))
         cu_qp_delta_syntax(t);
     int qp = qp_cur(t);
+    int inter = !is_intra;
     if (cbf_luma)
-        code_residual(t, x0, y0, log2_size, 0, lmode, qp, cu_bypass);
+        code_residual(t, x0, y0, log2_size, 0, lmode, qp, cu_bypass, inter);
     else
-        pred_only(t, x0, y0, log2_size, 0, lmode, qp);
+        pred_only(t, x0, y0, log2_size, 0, lmode, qp, inter);
     if (t->err) return;
     set_map(t, t->m->cbf_map, x0, y0, 1 << log2_size, 1 << log2_size,
             cbf_luma);
@@ -389,9 +451,9 @@ static void transform_unit(Ctu *t, int x0, int y0, int x_base, int y_base,
             if (t->err) return;
             if (cbfs[ci - 1])
                 code_residual(t, cx, cy, clog2, ci, chroma_mode, qp,
-                              cu_bypass);
+                              cu_bypass, inter);
             else
-                pred_only(t, cx, cy, clog2, ci, chroma_mode, qp);
+                pred_only(t, cx, cy, clog2, ci, chroma_mode, qp, inter);
         }
     }
 }
@@ -400,7 +462,7 @@ static void transform_tree(Ctu *t, int x0, int y0, int x_base, int y_base,
                            int log2_size, int depth, int blk_idx,
                            const int *modes, int n_modes, int chroma_mode,
                            int split0, int max_depth, int cbf_cb, int cbf_cr,
-                           int cu_bypass) {
+                           int cu_bypass, int is_intra) {
     const NParams *p = t->p;
     Cabac *c = t->c;
     int split;
@@ -422,15 +484,20 @@ static void transform_tree(Ctu *t, int x0, int y0, int x_base, int y_base,
             transform_tree(t, x0 + d[i][0], y0 + d[i][1], x0, y0,
                            log2_size - 1, depth + 1, i, modes, n_modes,
                            chroma_mode, split0, max_depth, cbf_cb, cbf_cr,
-                           cu_bypass);
+                           cu_bypass, is_intra);
         }
         return;
     }
-    /* leaf (intra: cbf_luma always coded) */
-    int cbf_luma = dec_bin(c, t->ox->cbf_luma + (depth == 0 ? 1 : 0));
+    /* leaf: cbf_luma coded except inter depth-0 with no chroma cbf
+       (inferred 1, spec 7.3.8.8) */
+    int cbf_luma;
+    if (is_intra || depth != 0 || cbf_cb || cbf_cr)
+        cbf_luma = dec_bin(c, t->ox->cbf_luma + (depth == 0 ? 1 : 0));
+    else
+        cbf_luma = 1;
     transform_unit(t, x0, y0, x_base, y_base, log2_size, depth, blk_idx,
                    modes, n_modes, chroma_mode, cbf_luma, cbf_cb, cbf_cr,
-                   cu_bypass);
+                   cu_bypass, is_intra);
 }
 
 /* -- intra CU (7.3.8.5) ---------------------------------------------------*/
@@ -532,7 +599,176 @@ static void intra_cu(Ctu *t, int x0, int y0, int log2_size, int cu_bypass) {
     set_edges(t, x0, y0, size, size);
     int max_depth = p->max_tt_depth_intra + part_nxn;
     transform_tree(t, x0, y0, x0, y0, log2_size, 0, 0, modes, n_pu,
-                   chroma_mode, part_nxn, max_depth, 1, 1, cu_bypass);
+                   chroma_mode, part_nxn, max_depth, 1, 1, cu_bypass, 1);
+    set_map(t, t->m->qp_map, x0, y0, size, size, qp_cur(t));
+    mark_avail(t, x0, y0, size);
+    qp_end_cu(t);
+}
+
+/* -- inter CU syntax (7.3.8.5/.6, mirrors syntax/ctu.py _inter_cu) -------- */
+
+/* part codes: 0=2Nx2N 1=2NxN 2=Nx2N 3=NxN 4=2NxnU 5=2NxnD 6=nLx2N 7=nRx2N
+   rect tables in quarter units (syntax/ctu.py _PART_RECTS) */
+static const int PART_RECTS[8][4][4] = {
+    {{0, 0, 4, 4}},
+    {{0, 0, 4, 2}, {0, 2, 4, 2}},
+    {{0, 0, 2, 4}, {2, 0, 2, 4}},
+    {{0, 0, 2, 2}, {2, 0, 2, 2}, {0, 2, 2, 2}, {2, 2, 2, 2}},
+    {{0, 0, 4, 1}, {0, 1, 4, 3}},
+    {{0, 0, 4, 3}, {0, 3, 4, 1}},
+    {{0, 0, 1, 4}, {1, 0, 3, 4}},
+    {{0, 0, 3, 4}, {3, 0, 1, 4}},
+};
+static const int PART_N[8] = {1, 2, 2, 4, 2, 2, 2, 2};
+
+static int part_mode_inter(Ctu *t, int log2_size) {
+    const NParams *p = t->p;
+    Cabac *c = t->c;
+    int at_min = log2_size == p->log2_min_cb;
+    int amp = p->amp_enabled && !at_min;
+    if (dec_bin(c, t->ox->part_mode)) return 0;
+    int horiz = dec_bin(c, t->ox->part_mode + 1);
+    if (!at_min) {
+        if (amp) {
+            int plain = dec_bin(c, t->ox->part_mode + 3);
+            if (plain) return horiz ? 1 : 2;
+            int second = dec_bypass(c);
+            if (horiz) return second ? 5 : 4;
+            return second ? 7 : 6;
+        }
+        return horiz ? 1 : 2;
+    }
+    if (horiz) return 1;
+    if (log2_size == 3) return 2;     /* inter NxN forbidden for 8x8 CUs */
+    int third = dec_bin(c, t->ox->part_mode + 2);
+    return third ? 2 : 3;
+}
+
+static int ref_idx_syntax(Ctu *t, int n_ref) {
+    int c_max = n_ref - 1;
+    if (c_max == 0) return 0;
+    int v = 0;
+    while (v < c_max) {
+        int b = (v < 2) ? dec_bin(t->c, t->ox->ref_idx + v)
+                        : dec_bypass(t->c);
+        if (!b) break;
+        v++;
+    }
+    return v;
+}
+
+static void mvd_coding(Ctu *t, int out[2]) {
+    Cabac *c = t->c;
+    int g0x = dec_bin(c, t->ox->abs_mvd_greater_flag);
+    int g0y = dec_bin(c, t->ox->abs_mvd_greater_flag);
+    int g1x = g0x ? dec_bin(c, t->ox->abs_mvd_greater_flag + 1) : 0;
+    int g1y = g0y ? dec_bin(c, t->ox->abs_mvd_greater_flag + 1) : 0;
+    const int g0[2] = {g0x, g0y}, g1[2] = {g1x, g1y};
+    for (int i = 0; i < 2; i++) {
+        if (!g0[i]) { out[i] = 0; continue; }
+        int mag = 1;
+        if (g1[i]) mag = 2 + dec_eg(c, 1);
+        out[i] = dec_bypass(c) ? -mag : mag;
+    }
+}
+
+/* -> merge flag; writes one EV_PU record */
+static int inter_pu(Ctu *t, int x, int y, int w, int h, int part,
+                    int part_idx, int cu_log2, int merge_only) {
+    const NParams *p = t->p;
+    Cabac *c = t->c;
+    int32_t *r = ev_push(t);
+    if (!r) return 1;
+    int merge = merge_only ? 1 : dec_bin(c, t->ox->merge_flag);
+    int midx = 0, idc = 0;
+    int ref[2] = {-1, -1}, mvp[2] = {0, 0}, mvd[2][2] = {{0, 0}, {0, 0}};
+    if (merge) {
+        int c_max = p->max_merge_cand - 1;
+        if (c_max > 0 && dec_bin(c, t->ox->merge_idx))
+            midx = 1 + tr_bypass(c, c_max - 1);
+    } else {
+        int is_b = p->slice_type == 0;
+        if (is_b) {
+            if (w + h != 12) {
+                int ct_depth = p->log2_ctb - cu_log2;
+                if (dec_bin(c, t->ox->inter_pred_idc + ct_depth))
+                    idc = 2;
+                else
+                    idc = dec_bin(c, t->ox->inter_pred_idc + 4) ? 1 : 0;
+            } else {
+                idc = dec_bin(c, t->ox->inter_pred_idc + 4) ? 1 : 0;
+            }
+        }
+        for (int lx = 0; lx < 2; lx++) {
+            if ((idc == 0 && lx == 1) || (idc == 1 && lx == 0)) continue;
+            int n_ref = lx ? p->num_ref_l1 : p->num_ref_l0;
+            ref[lx] = ref_idx_syntax(t, n_ref);
+            if (!(lx == 1 && p->mvd_l1_zero && idc == 2))
+                mvd_coding(t, mvd[lx]);
+            mvp[lx] = dec_bin(c, t->ox->mvp_flag);
+        }
+    }
+    r[0] = EV_PU; r[1] = x; r[2] = y; r[3] = w; r[4] = h;
+    r[5] = part; r[6] = part_idx; r[7] = merge; r[8] = midx; r[9] = idc;
+    r[10] = ref[0]; r[11] = ref[1];
+    r[12] = mvd[0][0]; r[13] = mvd[0][1];
+    r[14] = mvd[1][0]; r[15] = mvd[1][1];
+    r[16] = mvp[0]; r[17] = mvp[1];
+    r[18] = p->max_merge_cand;
+    return merge;
+}
+
+static void emit_inter_pred_only(Ctu *t, int x0, int y0, int size) {
+    /* mirrors _emit_inter_pred_only + frame_plan._expand_large: 64x64
+       pred-only luma splits into four 32x32 quadrants (buckets top out at
+       log2 5); chroma (size>>1 <= 32) always fits */
+    int qp = qp_cur(t);
+    if (size == 64) {
+        for (int dy = 0; dy < 64; dy += 32)
+            for (int dx = 0; dx < 64; dx += 32)
+                pred_only(t, x0 + dx, y0 + dy, 5, 0, -1, qp, 1);
+    } else {
+        int log2 = 0;
+        while ((1 << log2) < size) log2++;
+        pred_only(t, x0, y0, log2, 0, -1, qp, 1);
+    }
+    int clog2 = 0;
+    while ((1 << clog2) < (size >> 1)) clog2++;
+    pred_only(t, x0 >> 1, y0 >> 1, clog2, 1, -1, qp, 1);
+    pred_only(t, x0 >> 1, y0 >> 1, clog2, 2, -1, qp, 1);
+    set_map(t, t->m->cbf_map, x0, y0, size, size, 0);
+}
+
+static void inter_cu(Ctu *t, int x0, int y0, int log2_size, int cu_bypass) {
+    const NParams *p = t->p;
+    int size = 1 << log2_size;
+    int part = part_mode_inter(t, log2_size);
+    int q = size >> 2;
+    int merge0 = 0;
+    for (int i = 0; i < PART_N[part]; i++) {
+        const int *rc = PART_RECTS[part][i];
+        int px = x0 + rc[0] * q, py = y0 + rc[1] * q;
+        int pw = rc[2] * q, ph = rc[3] * q;
+        int m = inter_pu(t, px, py, pw, ph, part, i, log2_size, 0);
+        if (i == 0) merge0 = m;
+        set_edges(t, px, py, pw, ph);
+        if (t->err) return;
+    }
+    set_map(t, t->m->intra_map, x0, y0, size, size, 0);
+    set_map(t, t->m->skip_map, x0, y0, size, size, 0);
+    set_map(t, t->m->mode_map, x0, y0, size, size, -1);
+    set_edges(t, x0, y0, size, size);
+    int rqt_root = 1;
+    if (!(part == 0 && merge0))
+        rqt_root = dec_bin(t->c, t->ox->rqt_root_cbf);
+    if (rqt_root) {
+        int max_depth = p->max_tt_depth_inter;
+        int inter_split = (max_depth == 0 && part != 0);
+        transform_tree(t, x0, y0, x0, y0, log2_size, 0, 0, NULL, 0, -1,
+                       inter_split, max_depth, 1, 1, cu_bypass, 0);
+    } else {
+        emit_inter_pred_only(t, x0, y0, size);
+    }
     set_map(t, t->m->qp_map, x0, y0, size, size, qp_cur(t));
     mark_avail(t, x0, y0, size);
     qp_end_cu(t);
@@ -541,14 +777,43 @@ static void intra_cu(Ctu *t, int x0, int y0, int log2_size, int cu_bypass) {
 /* -- coding unit / quadtree (7.3.8.4/.5) ----------------------------------*/
 
 static void coding_unit(Ctu *t, int x0, int y0, int log2_size) {
+    const NParams *p = t->p;
+    int size = 1 << log2_size;
+    int32_t *ev = NULL;
+    if (p->slice_type != 2) {         /* CU event for the motion replay */
+        ev = ev_push(t);
+        if (!ev) return;
+        ev[0] = EV_CU; ev[1] = x0; ev[2] = y0; ev[3] = log2_size;
+    }
     int cu_bypass = 0;
-    if (t->p->transquant_bypass_enabled) {
+    if (p->transquant_bypass_enabled) {
         cu_bypass = dec_bin(t->c, t->ox->cu_transquant_bypass_flag);
         if (cu_bypass)
-            set_map(t, t->m->bypass_map, x0, y0, 1 << log2_size,
-                    1 << log2_size, 1);
+            set_map(t, t->m->bypass_map, x0, y0, size, size, 1);
     }
-    /* slice_type == I only (wrapper falls back otherwise) */
+    if (p->slice_type != 2) {
+        int inc = 0;
+        if (avail_at(t, x0 - 1, y0))
+            inc += t->m->skip_map[(y0 >> 2) * p->w4 + ((x0 - 1) >> 2)];
+        if (avail_at(t, x0, y0 - 1))
+            inc += t->m->skip_map[((y0 - 1) >> 2) * p->w4 + (x0 >> 2)];
+        int skip = dec_bin(t->c, t->ox->cu_skip_flag + inc);
+        if (skip) {
+            set_map(t, t->m->skip_map, x0, y0, size, size, 1);
+            set_map(t, t->m->intra_map, x0, y0, size, size, 0);
+            set_map(t, t->m->qp_map, x0, y0, size, size, qp_cur(t));
+            set_edges(t, x0, y0, size, size);
+            inter_pu(t, x0, y0, size, size, 0, 0, log2_size, 1);
+            emit_inter_pred_only(t, x0, y0, size);
+            mark_avail(t, x0, y0, size);
+            qp_end_cu(t);
+            return;
+        }
+        if (!dec_bin(t->c, t->ox->pred_mode_flag)) {
+            inter_cu(t, x0, y0, log2_size, cu_bypass);
+            return;
+        }
+    }
     intra_cu(t, x0, y0, log2_size, cu_bypass);
 }
 
@@ -667,11 +932,12 @@ static void code_sao(Ctu *t, int ctb_addr) {
 
 EXPORT int ctu_parse(Cabac *c, const NParams *p, const NMaps *m, NQp *q,
                      NBucket *buckets, NPlane *planes, int32_t *sao,
-                     const NCtx *ox, int ctb_addr, int cur_tile,
+                     NEv *ev, const NCtx *ox, int ctb_addr, int cur_tile,
                      int do_sao) {
     Ctu t;
     t.c = c; t.p = p; t.m = m; t.q = q;
     t.bk = buckets; t.pl = planes; t.sao = sao;
+    t.ev = ev;
     t.ox = ox;
     t.rox.transform_skip_flag = ox->transform_skip_flag;
     t.rox.last_x = ox->last_x;

@@ -2,14 +2,18 @@
 plus vectorized tensor-plan assembly.
 
 Per picture, a NativeParseState owns the output buffers (size-bucketed TU
-record arrays, SAO records, wavefront state); CtuCoder calls parse_ctu once
-per CTU (segment/WPP/tile orchestration stays in Python, where it is cheap).
-build_tensor_plan() consumes the buckets directly -- no per-TU Python objects
-anywhere on this path.
+record arrays, SAO records, motion-syntax events, wavefront state); CtuCoder
+calls parse_ctu once per CTU (segment/WPP/tile orchestration stays in
+Python, where it is cheap).  build_tensor_plan() consumes the buckets
+directly -- no per-TU Python objects anywhere on this path.
 
-Supported natively: I slices without PCM (syntax/ctu.py remains the
-reference and the fallback; tests assert the two parsers agree bit-exactly
-on the decoded YUV).
+Supported natively: I, P and B slices without PCM (syntax/ctu.py remains
+the reference and the fallback; tests assert the two parsers agree
+bit-exactly on the decoded YUV).  For inter slices the C parser records
+per-PU SYNTAX only (merge idx / mvd / ref idx / mvp flags): candidate
+derivation never affects the bitstream, so replay_motion() re-runs
+golden/mv.py's merge/AMVP derivation over the event stream afterwards,
+reproducing the parse-time availability neighborhood with a replay grid.
 """
 from __future__ import annotations
 
@@ -41,7 +45,9 @@ class _NParams(ctypes.Structure):
         "transform_skip_enabled", "sign_data_hiding", "cu_qp_delta_enabled",
         "min_qg_log2", "transquant_bypass_enabled", "strong_intra_smoothing",
         "scaling_enabled", "slice_qp", "slice_idx", "slice_type",
-        "sao_luma", "sao_chroma")]
+        "sao_luma", "sao_chroma",
+        "max_merge_cand", "num_ref_l0", "num_ref_l1", "mvd_l1_zero",
+        "amp_enabled", "max_tt_depth_inter")]
 
 
 _I32P = ctypes.POINTER(ctypes.c_int32)
@@ -67,6 +73,17 @@ class _NBucket(ctypes.Structure):
         ("meta", _I32P), ("coeffs", _I16P), ("ref_ys", _I16P),
         ("ref_xs", _I16P), ("ref_ok", _U8P), ("ok_scan", _U8P),
         ("count", ctypes.c_int32), ("cap", ctypes.c_int32)]
+
+
+EV_W = 20
+EV_CU, EV_PU = 0, 1
+PART_NAMES = ("2Nx2N", "2NxN", "Nx2N", "NxN", "2NxnU", "2NxnD",
+              "nLx2N", "nRx2N")
+
+
+class _NEv(ctypes.Structure):
+    _fields_ = [("ev", _I32P), ("count", ctypes.c_int32),
+                ("cap", ctypes.c_int32)]
 
 
 class _NPlane(ctypes.Structure):
@@ -129,6 +146,7 @@ def _ctu_load():
         ctypes.POINTER(_Cabac), ctypes.POINTER(_NParams),
         ctypes.POINTER(_NMaps), ctypes.POINTER(_NQp),
         ctypes.POINTER(_NBucket), ctypes.POINTER(_NPlane), _I32P,
+        ctypes.POINTER(_NEv),
         ctypes.POINTER(_NCtx), ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.ctu_parse.restype = ctypes.c_int
     _ctu_lib = lib
@@ -140,10 +158,9 @@ def native_parse_available() -> bool:
 
 
 def supports(sps, pps, sh) -> bool:
-    """Can this slice be parsed natively?  (I slice, no PCM.)"""
-    from p265_tpu.hls.slice_header import SLICE_I
-    return (sh.slice_type == SLICE_I and not sps.pcm_enabled
-            and native_parse_available())
+    """Can this slice be parsed natively?  (any slice type; PCM falls back
+    to the Python parser -- it restarts the entropy engine mid-CTU.)"""
+    return not sps.pcm_enabled and native_parse_available()
 
 
 def _ptr(a, ct):
@@ -204,6 +221,12 @@ class NativeParseState:
             pl.last_slice = -1
             pl.n_steps = 0
         self.sao = np.zeros(sps.num_ctbs * 20, np.int32)
+        # motion-syntax events: <=1 CU event per 8x8 block + <=4 PU events
+        # per CU; h4*w4 + 64 covers the worst legal mix at any min-CB size
+        h4, w4 = (h + 3) >> 2, (w + 3) >> 2
+        self.ev = np.zeros((h4 * w4 + 64, EV_W), np.int32)
+        self._ev = _NEv(ev=_ptr(self.ev, _I32P), count=0,
+                        cap=self.ev.shape[0])
         self._qp = _NQp()
         self._params = None
         self._maps = None
@@ -227,7 +250,13 @@ class NativeParseState:
             scaling_enabled=int(sps.scaling_list_enabled),
             slice_qp=sh.slice_qp, slice_idx=slice_idx,
             slice_type=sh.slice_type,
-            sao_luma=int(sh.sao_luma), sao_chroma=int(sh.sao_chroma))
+            sao_luma=int(sh.sao_luma), sao_chroma=int(sh.sao_chroma),
+            max_merge_cand=sh.max_num_merge_cand,
+            num_ref_l0=sh.num_ref_idx_l0_active,
+            num_ref_l1=sh.num_ref_idx_l1_active,
+            mvd_l1_zero=int(sh.mvd_l1_zero),
+            amp_enabled=int(sps.amp_enabled),
+            max_tt_depth_inter=sps.max_transform_hierarchy_depth_inter)
         maps = (plan.intra_mode_map, plan.ct_depth_map, plan.qp_map,
                 plan.intra_map, plan.cbf_map, plan.edge_flags,
                 plan.skip_map, plan.bypass_map)
@@ -262,6 +291,7 @@ class NativeParseState:
             ctypes.byref(engine._c), ctypes.byref(self._params),
             ctypes.byref(self._maps), ctypes.byref(self._qp),
             self._bk, self._pl, _ptr(self.sao, _I32P),
+            ctypes.byref(self._ev),
             ctypes.byref(_nctx()), ctb_addr, cur_tile, int(do_sao))
         if r < 0:
             raise ValueError(f"native CTU parse failed (code {r}) "
@@ -272,13 +302,16 @@ class NativeParseState:
     def total_tus(self) -> int:
         return sum(self._bk[i].count for i in range(12))
 
-    def finalize(self, plan) -> None:
-        """Convert the native SAO array into plan.sao SaoRec records.
-        Idempotent: callers on both the sequential and pipelined paths may
-        invoke it before using plan.sao."""
+    def finalize(self, plan, mctx=None) -> None:
+        """Convert the native SAO array into plan.sao SaoRec records and, for
+        inter pictures, replay the motion-syntax events into plan.pus + the
+        MotionCtx grids (candidate derivation, spec 8.5.3.2).  Idempotent:
+        callers on both the sequential and pipelined paths may invoke it
+        before using plan.sao."""
         if getattr(self, "_finalized", False):
             return
         self._finalized = True
+        self.replay_motion(plan, mctx)
         from p265_tpu.syntax.ctu import SaoRec
         rec = self.sao.reshape(-1, 20)
         out = []
@@ -291,6 +324,82 @@ class NativeParseState:
                          for c in range(3)],
                 merge_left=bool(r[18]), merge_up=bool(r[19])))
         plan.sao = out
+
+    def replay_motion(self, plan, mctx) -> None:
+        """Walk the C parser's CU/PU event stream in z-order, re-deriving
+        merge/AMVP candidates (which never affect the bitstream) with a
+        replay availability grid that reproduces the parse-time neighborhood
+        (golden/mv.py motion_at semantics)."""
+        n_ev = int(self._ev.count)
+        if n_ev == 0:
+            return
+        assert mctx is not None, "inter events need a MotionCtx"
+        from p265_tpu.golden.mv import Motion, derive_amvp, derive_merge_list
+        from p265_tpu.syntax.ctu import PuRec, wrap_mv
+        sps = self.sps
+        w4 = (sps.pic_width + 3) >> 2
+        h4 = (sps.pic_height + 3) >> 2
+        avail = np.zeros((h4, w4), bool)
+        tile_map4 = plan.tile_map4
+        slice_of_ctb = plan.slice_of_ctb
+        log2_ctb, wc = sps.log2_ctb_size, sps.pic_width_ctbs
+        cur = {"tile": 0, "slice": 0}
+
+        def avail_at(x: int, y: int) -> bool:
+            if x < 0 or y < 0 or x >= sps.pic_width or y >= sps.pic_height:
+                return False
+            if tile_map4[y >> 2, x >> 2] != cur["tile"]:
+                return False
+            addr = (y >> log2_ctb) * wc + (x >> log2_ctb)
+            if slice_of_ctb[addr] != cur["slice"]:
+                return False
+            return bool(avail[y >> 2, x >> 2])
+
+        mctx.avail = avail_at
+        mctx.intra_map = plan.intra_map
+        ev = self.ev[:n_ev]
+        pending = None  # (x0, y0, size) of the CU awaiting availability mark
+        for r in ev:
+            if r[0] == EV_CU:
+                if pending is not None:
+                    x0, y0, size = pending
+                    x1 = min(x0 + size, sps.pic_width)
+                    y1 = min(y0 + size, sps.pic_height)
+                    avail[y0 >> 2:(y1 + 3) >> 2, x0 >> 2:(x1 + 3) >> 2] = True
+                x0, y0, size = int(r[1]), int(r[2]), 1 << int(r[3])
+                pending = (x0, y0, size)
+                cur["tile"] = int(tile_map4[y0 >> 2, x0 >> 2])
+                cur["slice"] = int(
+                    slice_of_ctb[(y0 >> log2_ctb) * wc + (x0 >> log2_ctb)])
+                mctx.begin_cu()
+                continue
+            x, y, w, h = (int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+            part, part_idx = PART_NAMES[int(r[5])], int(r[6])
+            if r[7]:  # merge
+                cx0, cy0, csize = pending
+                cu_log2 = csize.bit_length() - 1
+                cands = derive_merge_list(mctx, cx0, cy0, csize, x, y, w, h,
+                                          part, part_idx, int(r[18]))
+                motion = cands[int(r[8])].copy()
+            else:
+                idc = int(r[9])
+                motion = Motion()
+                for lx in (0, 1):
+                    if (idc == 0 and lx == 1) or (idc == 1 and lx == 0):
+                        continue
+                    ridx = int(r[10 + lx])
+                    mvd = (int(r[12 + 2 * lx]), int(r[13 + 2 * lx]))
+                    amvp = derive_amvp(mctx, x, y, w, h, lx, ridx)
+                    mvp = amvp[int(r[16 + lx])]
+                    motion.mv[lx] = (wrap_mv(mvp[0] + mvd[0]),
+                                     wrap_mv(mvp[1] + mvd[1]))
+                    motion.ref_idx[lx] = ridx
+                    motion.ref_poc[lx] = mctx.list_pocs[lx][ridx]
+                    # NOTE: lt stays False here, matching the Python parser
+                    # (_prediction_unit leaves Motion.lt default on the AMVP
+                    # path; the grids must agree bit-for-bit)
+            mctx.store_pu(x, y, w, h, motion)
+            plan.pus.append(PuRec(x, y, w, h, motion))
 
     def tensor_plan(self, plan):
         """Vectorized TuBatch assembly (mirrors frame_plan.build_tensor_plan
@@ -320,6 +429,7 @@ class NativeParseState:
                 mode = meta[:, 3]
                 has_res = (flags & 2) == 0
                 tskip = (flags & 1) != 0
+                inter = (flags & 4) != 0
                 bypass = (flags & 8) != 0
                 if p_idx == 0 and size != 4:
                     thresh = INTRA_HOR_VER_DIST_THRES.get(size, 10)
@@ -342,12 +452,13 @@ class NativeParseState:
                     qp=qp.astype(np.int32),
                     mode=mode.astype(np.int32),
                     c_idx=np.full(m, p_idx, np.int32),
-                    is_dst=np.full(m, p_idx == 0 and log2 == 2, bool),
+                    is_dst=(np.full(m, p_idx == 0 and log2 == 2, bool)
+                            & ~inter),
                     tskip=tskip,
                     has_res=has_res,
                     bypass=bypass,
                     scale_m=scale_m,
-                    inter=np.zeros(m, bool),
+                    inter=inter,
                     filter_flag=ff,
                     strong_allowed=(ff if (p_idx == 0 and size == 32
                                            and sps.strong_intra_smoothing)

@@ -292,14 +292,17 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False,
         arrays.append(np.clip(merged.inter_pred, 0, 255).astype(np.uint8))
 
     mc_specs = None
+    mc_bi = False
     if mc is not None:
+        mc_bi = policy is not None and policy.saw_bi
         mcs = []
         for grp in ("y", "c"):
-            fields = {}
-            for f, a in sorted(mc[grp].items()):
-                fields[f] = len(arrays)
-                arrays.append(np.ascontiguousarray(a))
-            mcs.append((grp, tuple(sorted(fields.items()))))
+            for block in sorted(mc[grp]):
+                fields = {}
+                for f, a in sorted(mc[grp][block].items()):
+                    fields[f] = len(arrays)
+                    arrays.append(np.ascontiguousarray(a))
+                mcs.append((grp, block, tuple(sorted(fields.items()))))
         mc_specs = tuple(mcs)
 
     itu_specs = None
@@ -331,7 +334,8 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False,
         tu=tu_field_specs, fp=tuple(sorted(fp.items())),
         specs=specs, deblock=deblock_on, sao_luma=sao_luma,
         sao_chroma=sao_chroma, ctb=sps.ctb_size, has_masks=has_masks,
-        tr=tr, tl=tl, pscan_ok=pscan_ok, mc=mc_specs, itu=itu_specs,
+        tr=tr, tl=tl, pscan_ok=pscan_ok, mc=mc_specs, mc_bi=mc_bi,
+        itu=itu_specs,
     )
     return bufs, _freeze(meta)
 
@@ -371,15 +375,13 @@ def _decode_batch_jit(bufs, meta, use_mxu: bool = True,
         # fused MC: prediction planes computed here from the device-resident
         # reference slabs (refs = 3 tuples of [H,W]/[Hc,Wc] uint8 planes)
         from p265_tpu.kernels.mc import mc_pred_plane
-        g = {grp: {f: arrays[i] for f, i in fields}
-             for grp, fields in m["mc"]}
+        g = {"y": {}, "c": {}}
+        for grp, block, fields in m["mc"]:
+            g[grp][block] = {f: arrays[i] for f, i in fields}
 
         def _mc(grp, stack, wp_key, shape, taps):
-            d = g[grp]
-            wp = tuple(d[wp_key][:, k] for k in range(5))
-            return mc_pred_plane(stack, d["pos"], d["r0"], d["r1"],
-                                 d["mv0"], d["mv1"], d["has1"], wp,
-                                 shape, taps)
+            return mc_pred_plane(stack, g[grp], shape, taps,
+                                 m["mc_bi"], wp_key)
 
         Hf, Wf, Hcf, Wcf = m["H"], m["W"], m["Hc"], m["Wc"]
         pred_y = _mc("y", jnp.stack(refs[0]), "wp_0", (Hf, Wf), 8)

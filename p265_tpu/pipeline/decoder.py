@@ -103,7 +103,7 @@ class TpuDecoder(DecoderBase):
             poc_list = sorted(refs)
             mc_in = mc_arrays_padded(
                 plan, {p: i for i, p in enumerate(poc_list)},
-                {g: pol.mc_rows(g, cnt[g]) for g in ("y", "c")})
+                {k: pol.mc_rows(k, n) for k, n in cnt.items()})
             refs_in = self._ref_stacks(refs, poc_list,
                                        pol.refs_cap(len(poc_list)))
         elif getattr(plan, "_needs_pred", False) or pol.want_pred:

@@ -96,6 +96,7 @@ class ShapePolicy:
         self._mc_rows: dict[str, int] = {}
         self._n_refs = 1
         self.saw_pus = False          # any inter PU observed in the stream
+        self.saw_bi = False           # any list-1 use: bi path in MC program
         self.saw_pcm = False          # PCM needs host-stamped pred planes
         self.want_pred = want_pred    # force the MC pred plane input
         self.want_scale = False       # force scale_m fields (scaling lists)
@@ -186,10 +187,11 @@ class ShapePolicy:
             self.want_masks = True
         if fp.pus:
             self.saw_pus = True
+            if any(p.motion.uses(1) for p in fp.pus):
+                self.saw_bi = True
             from p265_tpu.kernels.mc import mc_block_counts
-            cnt = mc_block_counts(fp)
-            self.mc_rows("y", cnt["y"])
-            self.mc_rows("c", cnt["c"])
+            for key, n in mc_block_counts(fp).items():
+                self.mc_rows(key, n)
         if any(t.pcm for t in fp.tus):
             self.saw_pcm = True
         self.refs_cap(n_refs)

@@ -105,10 +105,24 @@ def build_tensor_plan(plan: FramePlan, refs: dict | None = None,
     pixels exist; attach_pred_planes fills them in at reconstruction time."""
     ns = getattr(plan, "nstate", None)
     if ns is not None:
-        # native Stage-A parse already emitted the bucketed records
+        # native Stage-A parse already emitted the bucketed records; motion
+        # replay (ns.finalize) has populated plan.pus for inter pictures
         assert not plan.tus, "mixed native/python parse in one picture"
-        assert pred_planes is None, "native parse is intra-only"
-        return ns.tensor_plan(plan)
+        plan._has_pcm = False          # PCM slices fall back to Python parse
+        plan._needs_pred = bool(plan.pus)
+        tp = ns.tensor_plan(plan)
+        if plan._needs_pred and not skip_pred:
+            pred = pred_planes
+            if pred is None:
+                if device_mc:
+                    from p265_tpu.kernels.mc import build_inter_pred_device
+                    pred = build_inter_pred_device(plan, refs or {})
+                else:
+                    from p265_tpu.golden.recon import build_inter_pred
+                    pred = build_inter_pred(plan, refs or {})
+            for pp, pl in zip(tp.planes, pred):
+                pp.inter_pred = pl
+        return tp
     sps = plan.sps
     w, h = sps.pic_width, sps.pic_height
     shapes = [(h, w), (h >> 1, w >> 1), (h >> 1, w >> 1)]
@@ -248,8 +262,6 @@ def attach_pred_planes(tplan: TensorPlan, refs: dict,
     """Fill the MC prediction planes of a tplan built with skip_pred=True,
     now that the reference pictures' pixels exist."""
     plan = tplan.frame_plan
-    if getattr(plan, "nstate", None) is not None:
-        return  # native parse path is intra-only
     if not getattr(plan, "_needs_pred", False):
         return
     if all(pp.inter_pred is not None for pp in tplan.planes):
