@@ -345,7 +345,12 @@ def _h_edge_params_per_device(glob, n_seg, hl, n_dev, H):
     for d in range(n_dev):
         for k in range(pe):
             row = d * hl + 8 * k
-            if 8 <= row <= H - 8 and row // 8 - 1 < glob.shape[1]:
+            # edge validity is delegated to the edge-param builder: glob
+            # holds exactly the legal edges (8, 16, ..).  A "row <= H - 8"
+            # gate here wrongly dropped the LAST chroma edge whenever the
+            # plane height is not a multiple of 8 (e.g. 540 rows at 1080p:
+            # edge 536 filters rows 535-536, entirely in-plane).
+            if row >= 8 and row // 8 - 1 < glob.shape[1]:
                 out[d, :, k] = glob[:, row // 8 - 1]
     return out
 

