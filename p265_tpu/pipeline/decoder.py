@@ -95,7 +95,8 @@ class TpuDecoder(DecoderBase):
         tplan = task.get("tplan")
         if tplan is None:
             tplan = self._build_tplan(plan, skip_pred=True)
-        pol = self.shape_policy
+        from p265_tpu.pipeline.wavefront import ShapePolicy
+        pol = self.shape_policy.profile(ShapePolicy.kind_of(plan))
         mc_in = refs_in = None
         if pol.want_mc and not getattr(plan, "_has_pcm", False):
             from p265_tpu.kernels.mc import mc_arrays_padded, mc_block_counts
@@ -154,9 +155,11 @@ class TpuDecoder(DecoderBase):
             attach_pred_planes(tplan, refs)
         if self.fused:
             from p265_tpu.pipeline.batch_decode import decode_batch_planes
+            from p265_tpu.pipeline.wavefront import ShapePolicy
+            pol = self.shape_policy.profile(ShapePolicy.kind_of(plan))
             pl, pc, fl, fc = decode_batch_planes([tplan], [plan],
                                                  use_mxu=self.use_mxu,
-                                                 policy=self.shape_policy)
+                                                 policy=pol)
             self._pending_filtered = [
                 np.asarray(fl[0], np.int32), np.asarray(fc[0], np.int32),
                 np.asarray(fc[1], np.int32)]

@@ -67,9 +67,9 @@ def _pow2(n: int, lo: int = 8) -> int:
 
 
 class ShapePolicy:
-    """Quantizes Stage-B tensor shapes so ONE compiled program serves a whole
-    stream (SURVEY.md 7.6: "pad capacities chosen per level limits so
-    recompilation never triggers mid-stream").
+    """Quantizes Stage-B tensor shapes so a BOUNDED number of compiled
+    programs serves a whole stream (SURVEY.md 7.6: "pad capacities chosen
+    per level limits so recompilation never triggers mid-stream").
 
     Every shape knob (per-bucket lane capacity, per-bucket TU-row count,
     wavefront step count) is rounded up to a power of two and kept as a
@@ -77,30 +77,98 @@ class ShapePolicy:
     cache hits for every frame whose needs fit the current rung.  A frame
     that exceeds a rung bumps it once -- recompiles are bounded by the
     ladder height, not the stream length.  All four TU size buckets are
-    always materialized (empty ones cost one pad lane), and want_pred
-    forces the inter prediction plane into intra frames of mixed streams so
-    I and P/B pictures share one program.
+    always materialized (empty ones cost one pad lane).
+
+    Shapes are kept PER FRAME KIND via profile(): intra pictures and
+    inter pictures get separate ladders and hence separate programs.  Their
+    wavefront geometries are opposite extremes -- a 1080p I frame runs
+    ~1500 thin steps (<=64 lanes), a 1080p P frame ~100 fat steps (~1024
+    lanes: intra islands over a step-1 inter sea).  One shared program
+    would pay max(steps) x max(caps) = ~16x padding waste (measured 2.9 s
+    vs 0.47 s scan at 1080p); two programs each stay near their true cost,
+    and the intra program carries no MC/ITU machinery at all.  Stream-level
+    flags (saw_pus, saw_bi, scaling, masks, refs) live on the root and are
+    shared by all profiles.
 
     Round-3 used a finer {pow2, 1.5*pow2} ladder to cap padding waste at
     50%; the judge measured that those non-pow2 dims cost a ~50x XLA TPU
     compile blowup at 1080p (580 s vs 11.4 s for the identical program with
-    pow2 shapes -- VERDICT.md round 3).  Padding is linear device compute
-    (~12 ms/frame device step at 1080p); the compile cliff is not.  Pow2
-    only.
+    pow2 shapes -- VERDICT.md round 3).  Padding is linear device compute;
+    the compile cliff is not.  Pow2 only.
     """
 
-    def __init__(self, want_pred: bool = False):
+    def __init__(self, want_pred: bool = False, _parent=None, _kind=None):
         self._caps: dict[int, int] = {}
         self._rows: dict[int, int] = {}
         self._steps = 8
         self._mc_rows: dict[str, int] = {}
+        self._parent = _parent        # root policy (flag owner); None = root
+        self._kind = _kind            # None = root; 0 = intra, 1 = inter
+        self._profiles: dict[int, "ShapePolicy"] = {}
         self._n_refs = 1
-        self.saw_pus = False          # any inter PU observed in the stream
-        self.saw_bi = False           # any list-1 use: bi path in MC program
-        self.saw_pcm = False          # PCM needs host-stamped pred planes
-        self.want_pred = want_pred    # force the MC pred plane input
-        self.want_scale = False       # force scale_m fields (scaling lists)
-        self.want_masks = False       # force bypass-pixel mask inputs
+        self._saw_pus = False         # any inter PU observed in the stream
+        self._saw_bi = False          # any list-1 use: bi path in MC program
+        self._saw_pcm = False         # PCM needs host-stamped pred planes
+        self._want_pred = want_pred   # force the MC pred plane input
+        self._want_scale = False      # force scale_m fields (scaling lists)
+        self._want_masks = False      # force bypass-pixel mask inputs
+
+    # -- stream-level flags: owned by the root, shared by profiles ----------
+    def _root(self) -> "ShapePolicy":
+        return self._parent or self
+
+    def profile(self, kind: int) -> "ShapePolicy":
+        """The shape profile for one frame kind (0 intra, 1 inter)."""
+        root = self._root()
+        p = root._profiles.get(kind)
+        if p is None:
+            p = ShapePolicy(_parent=root, _kind=kind)
+            root._profiles[kind] = p
+        return p
+
+    def _flag(name):  # noqa: N805 -- descriptor factory, not a method
+        def get(self):
+            return getattr(self._root(), "_" + name)
+
+        def set_(self, v):
+            setattr(self._root(), "_" + name, v)
+        return property(get, set_)
+
+    saw_pcm = _flag("saw_pcm")
+    want_scale = _flag("want_scale")
+    want_masks = _flag("want_masks")
+    del _flag
+
+    @property
+    def saw_pus(self) -> bool:
+        # the intra profile's program never carries MC/ITU inputs
+        if self._kind == 0:
+            return False
+        return self._root()._saw_pus
+
+    @saw_pus.setter
+    def saw_pus(self, v) -> None:
+        self._root()._saw_pus = v
+
+    @property
+    def saw_bi(self) -> bool:
+        if self._kind == 0:
+            return False
+        return self._root()._saw_bi
+
+    @saw_bi.setter
+    def saw_bi(self, v) -> None:
+        self._root()._saw_bi = v
+
+    @property
+    def want_pred(self) -> bool:
+        if self._kind == 0:
+            return False
+        return self._root()._want_pred
+
+    @want_pred.setter
+    def want_pred(self, v) -> None:
+        self._root()._want_pred = v
 
     @property
     def want_mc(self) -> bool:
@@ -148,18 +216,26 @@ class ShapePolicy:
         self._n_refs = max(self._n_refs, needed, 1)
         return self._n_refs
 
+    @staticmethod
+    def kind_of(fp) -> int:
+        """Frame kind: 1 for pictures needing prediction machinery (inter
+        PUs or PCM), 0 for pure intra."""
+        return 1 if (fp.pus or getattr(fp, "_needs_pred", False)) else 0
+
     def observe(self, tplan, n_refs: int = 0) -> None:
         """Feed one frame's syntax-derived shape needs BEFORE any device
         dispatch.  The tplan may be built with skip_pred=True (shapes never
         depend on reference pixels), so a decoder can observe a whole stream
-        at parse time and compile exactly ONE program for it.  Mirrors the
-        shape math of _merge_segments/_stack_plane/_build_batch for an F=1
-        batch: per bucket, lane cap = max TUs of all planes sharing a step,
-        rows = total TUs + pad row."""
+        at parse time and compile one program PER FRAME KIND for it.
+        Mirrors the shape math of _merge_segments/_stack_plane/_build_batch
+        for an F=1 batch: per bucket, lane cap = max TUs of all planes
+        sharing a step, rows = total TUs + pad row."""
         from p265_tpu.plan.frame_plan import LOG2_SIZES
+        fp = tplan.frame_plan
+        prof = self.profile(self.kind_of(fp))
         pps_ = tplan.planes
         n_steps = max(pp.n_steps for pp in pps_)
-        self.steps(n_steps)
+        prof.steps(n_steps)
         for log2 in LOG2_SIZES:
             per_step = np.zeros(n_steps + 1, np.int64)
             rows = 1            # intra (scan) TUs; inter TUs are hoisted
@@ -175,10 +251,9 @@ class ShapePolicy:
                 irows += int(len(b.step) - intra.sum())
                 if b.scale_m is not None:
                     self.want_scale = True
-            self.cap(log2, int(per_step[1:].max()) if n_steps else 1)
-            self.rows(log2, rows)
-            self.inter_rows(log2, irows)
-        fp = tplan.frame_plan
+            prof.cap(log2, int(per_step[1:].max()) if n_steps else 1)
+            prof.rows(log2, rows)
+            prof.inter_rows(log2, irows)
         if getattr(fp, "_needs_pred", False) or any(
                 pp.inter_pred is not None for pp in pps_):
             self.want_pred = True
@@ -191,10 +266,10 @@ class ShapePolicy:
                 self.saw_bi = True
             from p265_tpu.kernels.mc import mc_block_counts
             for key, n in mc_block_counts(fp).items():
-                self.mc_rows(key, n)
+                prof.mc_rows(key, n)
         if any(t.pcm for t in fp.tus):
             self.saw_pcm = True
-        self.refs_cap(n_refs)
+        self.profile(1).refs_cap(n_refs)
 
 
 def _round_up(n: int, m: int) -> int:

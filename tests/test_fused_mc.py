@@ -1,7 +1,7 @@
 """Fused-MC program: prediction planes computed INSIDE the single-dispatch
 Stage-B program from device-resident DPB slabs (kernels/mc.mc_pred_plane via
-pipeline/batch_decode meta["mc"]), bit-exact vs golden and still one program
-per stream."""
+pipeline/batch_decode meta["mc"]), bit-exact vs golden and still a bounded
+program count (one per frame kind) per stream."""
 import numpy as np
 import pytest
 
@@ -21,7 +21,7 @@ def _stream(structure, w=96, h=64, n=5, qp=30, seed=3, **pps_kw):
     return stream
 
 
-def _check(stream, expect_mc=True, max_programs=1):
+def _check(stream, expect_mc=True, max_programs=2):
     progs = set()
     orig = bd._decode_batch_jit
 
@@ -38,11 +38,11 @@ def _check(stream, expect_mc=True, max_programs=1):
         bd._decode_batch_jit = orig
     assert dec.shape_policy.want_mc == expect_mc
     if expect_mc:
-        # the program must carry MC specs (device MC, no dense pred upload)
+        # the inter-kind program must carry MC specs (device MC); the intra
+        # program carries none; NO program uploads a dense pred plane
+        assert any(dict(meta)["mc"] is not None for _, meta in progs)
         for _, meta in progs:
-            m = dict(meta)
-            assert m["mc"] is not None
-            assert "pred" not in dict(m["fp"])
+            assert "pred" not in dict(dict(meta)["fp"])
     assert len(progs) <= max_programs, len(progs)
     assert len(pics) == len(gold)
     for i, (p, g) in enumerate(zip(pics, gold)):

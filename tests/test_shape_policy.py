@@ -1,5 +1,9 @@
-"""One compile per stream (SURVEY.md 7.6): the ShapePolicy + parse-time
-calibration must make every frame of a stream hit the same jitted program.
+"""One compile per FRAME KIND per stream (SURVEY.md 7.6): the ShapePolicy +
+parse-time calibration must make every frame of a stream hit one of at most
+two jitted programs -- one for intra pictures (many thin wavefront steps),
+one for inter pictures (few fat steps + MC/ITU machinery).  Sharing one
+program across kinds was measured to cost ~6x device time at 1080p
+(max-steps x max-caps padding).
 
 Counts DISTINCT program signatures (buffer shapes/dtypes + static meta) seen
 by the single-dispatch batch jit -- a recompile would show up as a new
@@ -50,15 +54,15 @@ def _assert_matches_golden(stream, dec):
 def test_one_compile_per_stream(monkeypatch):
     spy = _SignatureSpy(monkeypatch)
     _assert_matches_golden(_ldp_stream(), TpuDecoder())
-    assert len(spy.signatures) == 1, (
-        f"{len(spy.signatures)} distinct programs for one stream")
+    assert len(spy.signatures) == 2, (   # one intra + one inter program
+        f"{len(spy.signatures)} distinct programs for one LDP stream")
 
 
 def test_one_compile_pipelined(monkeypatch):
     from p265_tpu.pipeline.async_decoder import PipelinedTpuDecoder
     spy = _SignatureSpy(monkeypatch)
     _assert_matches_golden(_ldp_stream(seed=9), PipelinedTpuDecoder())
-    assert len(spy.signatures) == 1
+    assert len(spy.signatures) == 2      # one intra + one inter program
 
 
 def test_calibration_window_overflow(monkeypatch):
@@ -68,7 +72,9 @@ def test_calibration_window_overflow(monkeypatch):
     spy = _SignatureSpy(monkeypatch)
     dec = TpuDecoder(calibrate_frames=2)
     _assert_matches_golden(_ldp_stream(n=6, seed=11), dec)
-    assert len(spy.signatures) <= 3  # bounded by ladder bumps, not frames
+    # two kinds + a few pow2 ladder bumps from frames past the window --
+    # bounded by ladder height, never by frame count
+    assert len(spy.signatures) <= 5
 
 
 def test_second_stream_reuses_program(monkeypatch):
@@ -81,13 +87,13 @@ def test_second_stream_reuses_program(monkeypatch):
     _assert_matches_golden(_ldp_stream(seed=7),
                            TpuDecoder(shape_policy=policy))
     n1 = len(spy.signatures)
-    assert n1 == 1
+    assert n1 == 2                       # intra + inter program
     _assert_matches_golden(_ldp_stream(seed=7),
                            TpuDecoder(shape_policy=policy))
-    assert len(spy.signatures) == 1
+    assert len(spy.signatures) == 2
     _assert_matches_golden(_ldp_stream(seed=13),
                            TpuDecoder(shape_policy=policy))
-    assert len(spy.signatures) <= 2
+    assert len(spy.signatures) <= 4
 
 
 def test_intra_only_stream_still_exact(monkeypatch):
