@@ -65,7 +65,10 @@ def main():
     for _ in range(3):
         d = TpuDecoder()
         t0 = time.perf_counter()
-        d.decode_stream(data)
+        out = d.decode_stream(data)
+        for f in out:   # e2e includes materializing every decoded pixel
+            for c in range(3):
+                np.asarray(f.planes[c])
         dt = time.perf_counter() - t0
         best = min(best, dt)
         log(f"warm decode: {dt:.2f} s; stats:",

@@ -31,6 +31,13 @@ def enable_persistent_cache(path: str | None = None) -> bool:
         os.path.join(os.path.expanduser("~"), ".cache", "p265_tpu_xla"))
     try:
         import jax
+        # TPU only: XLA:CPU AOT serialization on this host produces
+        # machine-feature-mismatched executables (SIGILL warnings) and the
+        # cache write itself can segfault (observed under the test suite's
+        # forced-CPU backend).  The cache exists for the minutes-long TPU
+        # compiles anyway.
+        if jax.default_backend() != "tpu":
+            return False
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything that took >1s to compile, regardless of size

@@ -76,6 +76,29 @@ def _imatmul_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return (hi.astype(jnp.int32) << 8) + lo.astype(jnp.int32)
 
 
+# Fused Pallas dequant+IDCT in the shipping path (VERDICT r3 ask #7): on
+# TPU backends, residual batches of 8x8 and up (no scaling lists) route to
+# kernels/pallas_itransform -- one VMEM-resident kernel instead of the
+# XLA dequant + two matmul stages with HBM round trips (1.08-1.25x
+# standalone, BASELINE.md per-kernel table).  4x4 stays on XLA (gather-
+# bound; the Pallas variant loses there).
+USE_PALLAS_RESIDUAL = True
+
+
+def batch_residual_auto(levels, qp, is_dst, tskip, log2: int,
+                        use_mxu: bool = True, bypass=None, scale_m=None):
+    """Traced residual dispatch: Pallas fused kernel when profitable and
+    available, XLA path otherwise.  Bit-exact either way."""
+    if (USE_PALLAS_RESIDUAL and scale_m is None and log2 >= 3
+            and jax.default_backend() == "tpu"):
+        from p265_tpu.kernels.pallas_itransform import pallas_batch_residual
+        by = bypass if bypass is not None else jnp.zeros(qp.shape[0], bool)
+        return pallas_batch_residual(levels, qp, is_dst, tskip, by, log2)
+    return batch_residual.__wrapped__(levels, qp, is_dst, tskip, log2,
+                                      use_mxu, bypass=bypass,
+                                      scale_m=scale_m)
+
+
 @functools.partial(jax.jit, static_argnames=("log2", "use_mxu"))
 def batch_residual(levels: jnp.ndarray, qp: jnp.ndarray, is_dst: jnp.ndarray,
                    tskip: jnp.ndarray, log2: int, use_mxu: bool = True,

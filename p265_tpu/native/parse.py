@@ -171,20 +171,32 @@ LOG2_SIZES = (2, 3, 4, 5)
 
 
 class NativeParseState:
-    """Per-picture native parse output: bucketed TU records + SAO + planes."""
+    """Per-picture native parse output: bucketed TU records + SAO + planes.
 
-    def __init__(self, sps, pps):
+    shared_sao: lane mode -- write SAO records into the given picture-wide
+    array (disjoint per-CTB rows) instead of allocating one.  Tile lanes
+    (one per tile substream, parsed on worker threads) use this together
+    with absorb(): buckets/planes/QP state are lane-private, while the
+    per-4x4 maps, availability grid, slice_of_ctb and SAO array are shared
+    picture state written to disjoint tile regions."""
+
+    def __init__(self, sps, pps, shared_sao=None, region=None):
         self.sps, self.pps = sps, pps
         h, w = sps.pic_height, sps.pic_width
+        # region: (w, h) record-capacity bound for a tile lane -- lane
+        # buckets/events only need the tile's worth of records (a full-pic
+        # lane allocation costs ~35 MB x n_tiles per picture otherwise)
+        rw, rh = region if region is not None else (w, h)
         shapes = [(h, w), (h >> 1, w >> 1), (h >> 1, w >> 1)]
         self.shapes = shapes
         self.buckets = {}           # (p_idx, log2) -> dict of numpy arrays
         self._bk = (_NBucket * 12)()
         for p in range(3):
             ph, pw = shapes[p]
+            cw, ch = (rw, rh) if p == 0 else (rw >> 1, rh >> 1)
             for log2 in LOG2_SIZES:
                 s = 1 << log2
-                cap = max(((pw + s - 1) // s) * ((ph + s - 1) // s), 1)
+                cap = max(((cw + s - 1) // s) * ((ch + s - 1) // s), 1)
                 nref2 = 2 * (2 * s + 1)
                 n41 = 4 * s + 1
                 d = dict(
@@ -220,10 +232,11 @@ class NativeParseState:
             pl.last_tile = -1
             pl.last_slice = -1
             pl.n_steps = 0
-        self.sao = np.zeros(sps.num_ctbs * 20, np.int32)
+        self.sao = (shared_sao if shared_sao is not None
+                    else np.zeros(sps.num_ctbs * 20, np.int32))
         # motion-syntax events: <=1 CU event per 8x8 block + <=4 PU events
         # per CU; h4*w4 + 64 covers the worst legal mix at any min-CB size
-        h4, w4 = (h + 3) >> 2, (w + 3) >> 2
+        h4, w4 = (rh + 3) >> 2, (rw + 3) >> 2
         self.ev = np.zeros((h4 * w4 + 64, EV_W), np.int32)
         self._ev = _NEv(ev=_ptr(self.ev, _I32P), count=0,
                         cap=self.ev.shape[0])
@@ -297,6 +310,38 @@ class NativeParseState:
             raise ValueError(f"native CTU parse failed (code {r}) "
                              f"at CTB {ctb_addr}")
         return r
+
+    def absorb(self, lanes: list) -> None:
+        """Concatenate tile-lane records (in tile order) into this state --
+        buckets, plane wavefront maxima and motion events.  The shared
+        picture arrays (maps/avail/sao/slice_of_ctb) were written in place
+        by the lanes to disjoint tile regions."""
+        for p in range(3):
+            for log2 in LOG2_SIZES:
+                bi = p * 4 + (log2 - 2)
+                dst = self._bk[bi]
+                dd = self.buckets[(p, log2)]
+                for lane in lanes:
+                    src = lane._bk[bi]
+                    m = int(src.count)
+                    if m == 0:
+                        continue
+                    o = int(dst.count)
+                    assert o + m <= dst.cap, (p, log2, o, m, dst.cap)
+                    sd = lane.buckets[(p, log2)]
+                    for k, a in dd.items():
+                        a[o:o + m] = sd[k][:m]
+                    dst.count = o + m
+            pl = self._pl[p]
+            pl.n_steps = max([int(pl.n_steps)]
+                             + [int(lane._pl[p].n_steps) for lane in lanes])
+        for lane in lanes:
+            m = int(lane._ev.count)
+            if m:
+                o = int(self._ev.count)
+                assert o + m <= self._ev.cap
+                self.ev[o:o + m] = lane.ev[:m]
+                self._ev.count = o + m
 
     # -- per-picture finalization ---------------------------------------------
     def total_tus(self) -> int:

@@ -94,8 +94,7 @@ def _unpack(bufs, specs):
 
 _TU_FIELDS = ("pos", "ref_ys", "ref_xs", "ref_ok", "mode", "filter_flag",
               "strong_allowed", "inter", "dc_edge", "coeffs", "qp", "is_dst",
-              "tskip", "bypass", "scale_m", "idx_map", "okc", "pos4",
-              "counts")
+              "tskip", "bypass", "scale_m", "idx_map", "counts")
 
 # fields of the hoisted inter-TU apply (pred + residual, no scan)
 _ITU_FIELDS = ("pos", "coeffs", "qp", "tskip", "bypass", "scale_m")
@@ -166,19 +165,15 @@ def _pad_rows(a: np.ndarray, tgt: int) -> np.ndarray:
     return np.concatenate([a, rep])
 
 
-def _build_batch(tplans: list, plans: list, pscan: bool = False,
-                 policy=None, mc=None):
+def _build_batch(tplans: list, plans: list, policy=None, mc=None):
     """-> (bufs, static_meta) for one batch of F same-resolution frames.
 
-    pscan: pack the pallas-wavefront-only fields (okc/pos4) too; they are
-    only built (and uploaded) when the pallas scan path will actually run.
     policy: optional ShapePolicy -- quantizes every data-dependent shape to
     stream-stable ladder values so one compile serves the whole stream.
     mc: optional fused-MC block arrays (kernels.mc.mc_arrays_padded, F=1
     only): the prediction planes are then computed INSIDE the program from
     device-resident reference slabs instead of being uploaded densely.
     """
-    from p265_tpu.pipeline.wavefront import pallas_scan_ok, planeT_geometry
     F = len(tplans)
     assert mc is None or F == 1, "fused MC path is per-picture (F=1)"
     sps = plans[0].sps
@@ -190,9 +185,7 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False,
     merged, offs = _merge_segments(pps_, policy=policy,
                                    host_pred=mc is None)
     itu = _hoist_inter(merged, policy)
-    pscan_ok = (pscan and mc is None and itu is None
-                and merged.inter_pred is None and pallas_scan_ok(merged))
-    n_steps, stacked = _stack_plane(merged, pallas=pscan_ok, policy=policy)
+    n_steps, stacked = _stack_plane(merged, policy=policy)
     if policy is None:
         n_steps = _round_up(n_steps, 32)
 
@@ -318,11 +311,6 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False,
             its.append((log2, tuple(sorted(fields.items()))))
         itu_specs = tuple(its)
 
-    if pscan_ok:
-        _, _, _, _, tr, tl = planeT_geometry(merged)
-    else:
-        tr = tl = 0
-
     bufs, specs = _pack(arrays)
     sizes = tuple(sorted(merged.batches.keys()))
     tu_field_specs = tuple(sorted(
@@ -334,8 +322,7 @@ def _build_batch(tplans: list, plans: list, pscan: bool = False,
         tu=tu_field_specs, fp=tuple(sorted(fp.items())),
         specs=specs, deblock=deblock_on, sao_luma=sao_luma,
         sao_chroma=sao_chroma, ctb=sps.ctb_size, has_masks=has_masks,
-        tr=tr, tl=tl, pscan_ok=pscan_ok, mc=mc_specs, mc_bi=mc_bi,
-        itu=itu_specs,
+        mc=mc_specs, mc_bi=mc_bi, itu=itu_specs,
     )
     return bufs, _freeze(meta)
 
@@ -353,11 +340,8 @@ def _thaw(t):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("meta", "use_mxu", "pscan", "interpret"))
-def _decode_batch_jit(bufs, meta, use_mxu: bool = True,
-                      pscan: bool = False, interpret: bool = False,
-                      refs=None):
+@functools.partial(jax.jit, static_argnames=("meta", "use_mxu"))
+def _decode_batch_jit(bufs, meta, use_mxu: bool = True, refs=None):
     m = _thaw(meta)
     arrays = _unpack(bufs, m["specs"])
     tu = {}
@@ -393,26 +377,26 @@ def _decode_batch_jit(bufs, meta, use_mxu: bool = True,
         o1, o2 = m["seg_h"], m["seg_h"] + m["seg_hc"]
         pred = pred.at[o1:o1 + Hcf, :Wcf].set(pred_cb)
         pred = pred.at[o2:o2 + Hcf, :Wcf].set(pred_cr)
-    if pscan and m["pscan_ok"]:
-        from p265_tpu.kernels.pallas_wavefront import scan_plane_pallas
-        stacked = _expand(tu, idx_maps, m["sizes"], use_mxu,
-                          pallas_fields=True)
-        plane = scan_plane_pallas(stacked, m["sizes"], m["shape"],
-                                  m["tr"], m["tl"], interpret=interpret)
-    else:
+    if True:
         init = None
         if m["itu"] is not None:
-            # hoisted inter TUs: pred + residual applied in ONE vectorized
-            # scatter before the scan (they are all wavefront "step 0")
+            # hoisted inter TUs (all wavefront "step 0"): scatter their
+            # residuals into a plane with ONE flat merged scatter, then
+            # init = clip(pred + residuals) over the whole plane.  Regions
+            # belonging to intra TUs get pred garbage that the scan
+            # overwrites.  (The earlier per-bucket 3D gather+scatter variant
+            # cost +116 s of XLA TPU compile at 1080p.)
             total_h, pw = m["shape"]
-            init = jnp.zeros((total_h + GUARD, pw), jnp.int32)
             psrc = (pred if pred is not None
                     else jnp.zeros((total_h, pw), jnp.int32))
-            from p265_tpu.kernels.itransform import batch_residual
+            psrc = jnp.concatenate(
+                [psrc, jnp.zeros((GUARD, pw), jnp.int32)])
+            from p265_tpu.kernels.itransform import batch_residual_auto
+            flat_idx, flat_val = [], []
             for log2, fields in m["itu"]:
                 d = {f: arrays[i] for f, i in fields}
                 sm = d.get("scale_m")
-                res = batch_residual.__wrapped__(
+                res = batch_residual_auto(
                     d["coeffs"].astype(jnp.int32), d["qp"].astype(jnp.int32),
                     jnp.zeros(d["qp"].shape[0], bool), d["tskip"], log2,
                     use_mxu, bypass=d["bypass"],
@@ -421,9 +405,13 @@ def _decode_batch_jit(bufs, meta, use_mxu: bool = True,
                 p = d["pos"].astype(jnp.int32)
                 rows = p[:, 0][:, None, None] + jnp.arange(s)[None, :, None]
                 cols = p[:, 1][:, None, None] + jnp.arange(s)[None, None, :]
-                blk = psrc[jnp.clip(rows, 0, total_h - 1), cols]
-                init = init.at[rows, cols].set(
-                    jnp.clip(blk + res, 0, 255))
+                flat_idx.append((rows * pw + cols).reshape(-1))
+                flat_val.append(res.reshape(-1))
+            res_plane = jnp.zeros((total_h + GUARD) * pw, jnp.int32)
+            res_plane = res_plane.at[jnp.concatenate(flat_idx)].set(
+                jnp.concatenate(flat_val), mode="drop")
+            init = jnp.clip(psrc + res_plane.reshape(total_h + GUARD, pw),
+                            0, 255)
             pred = None  # scan TUs are intra-only now
         stacked = _expand(tu, idx_maps, m["sizes"], use_mxu)
         plane = _scan_plane(stacked, m["sizes"], 0, m["shape"], pred,
@@ -475,20 +463,7 @@ def _decode_batch_jit(bufs, meta, use_mxu: bool = True,
             luma.astype(jnp.uint8), chroma.astype(jnp.uint8))
 
 
-# Pallas wavefront mega-kernel gate.  OFF by default: round-1's driver bench
-# crashed because this kernel, bit-exact in interpret mode, aborts in Mosaic
-# on the real chip (Check failed: limits[i] <= dim(i)); see VERDICT.md Weak#1.
-# It must pass an on-chip bit-exactness run (tests/test_tpu_smoke.py) before
-# being re-enabled.  The XLA scan path below is bit-exact on hardware.
-USE_PALLAS_SCAN = False
-
-
-def _pscan_default(interpret: bool):
-    return USE_PALLAS_SCAN and (interpret or jax.default_backend() != "cpu")
-
-
 def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
-                        pscan: bool | None = None, interpret: bool = False,
                         policy=None, mc=None, refs=None, stats=None):
     """F frame plans -> (pre_luma [F,H,W]u8, pre_chroma [2F]..., luma, chroma)
     device arrays via one dispatch (a few per-dtype uploads).
@@ -497,15 +472,12 @@ def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
     equal-length tuples of device uint8 reference planes (y, cb, cr).
     stats: optional dict accumulating pack_s / upload_s / dispatch_s."""
     import time as _time
-    if pscan is None:
-        pscan = _pscan_default(interpret)
     t0 = _time.perf_counter()
-    bufs, meta = _build_batch(tplans, plans, pscan=pscan, policy=policy,
-                              mc=mc)
+    bufs, meta = _build_batch(tplans, plans, policy=policy, mc=mc)
     t1 = _time.perf_counter()
     dbufs = tuple(jnp.asarray(b) for b in bufs)
     t2 = _time.perf_counter()
-    out = _decode_batch_jit(dbufs, meta, use_mxu, pscan, interpret, refs=refs)
+    out = _decode_batch_jit(dbufs, meta, use_mxu, refs=refs)
     if stats is not None:
         t3 = _time.perf_counter()
         stats["pack_s"] = stats.get("pack_s", 0.0) + (t1 - t0)
@@ -515,13 +487,12 @@ def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
 
 
 def decode_batch(tplans: list, plans: list, use_mxu: bool = True,
-                 pscan: bool | None = None, interpret: bool = False,
                  policy=None):
     """Convenience: -> (prefilter, filtered) as per-frame [y, cb, cr] device
     arrays (chroma order restored)."""
     F = len(tplans)
-    pl, pc, fl, fc = decode_batch_planes(tplans, plans, use_mxu, pscan,
-                                         interpret, policy=policy)
+    pl, pc, fl, fc = decode_batch_planes(tplans, plans, use_mxu,
+                                         policy=policy)
     pre = [[pl[f], pc[f], pc[F + f]] for f in range(F)]
     filt = [[fl[f], fc[f], fc[F + f]] for f in range(F)]
     return pre, filt

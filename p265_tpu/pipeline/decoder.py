@@ -119,7 +119,9 @@ class TpuDecoder(DecoderBase):
         # prefilter planes stay ON DEVICE: only tests/debug tooling read
         # them, and fetching 3 more planes through the axon tunnel costs
         # ~130 ms/frame at 1080p; np.asarray()/np.array_equal on the device
-        # array fetches lazily for consumers that do want the pixels
+        # array fetches lazily for consumers that do want the pixels.
+        # (jax.Array.copy_to_host_async was tried for the output planes too
+        # and WEDGES the axon tunnel at 1080p -- keep the fetch synchronous.)
         frame.prefilter = [pl[0], pc[0], pc[1]]
         frame.planes = [np.asarray(p, np.int32) for p in pic.planes]
         self.stats["fetch_s"] = (self.stats.get("fetch_s", 0.0)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from p265_tpu.kernels.intra import predict_values
 from p265_tpu.kernels.intra_mxu import predict_values_mxu
-from p265_tpu.kernels.itransform import batch_residual
+from p265_tpu.kernels.itransform import batch_residual, batch_residual_auto
 
 USE_MXU_INTRA = True  # matmul-formulated intra predictor (kernels/intra_mxu)
 
@@ -39,21 +39,17 @@ from p265_tpu.plan.frame_plan import PlanePlan, TensorPlan, TuBatch
 GUARD = 32
 
 
-USE_PALLAS_RESIDUAL = False  # opt-in: faster per-op, but the pipeline's
-# small ragged buckets lose more to 128-TU padding than the fusion saves;
-# revisit with bucket packing (BASELINE.md round-2 notes)
+@functools.partial(jax.jit, static_argnames=("log2", "use_mxu"))
+def _residual_auto_jit(coeffs, qp, is_dst, tskip, log2, use_mxu,
+                       bypass=None, scale_m=None):
+    return batch_residual_auto(coeffs, qp, is_dst, tskip, log2, use_mxu,
+                               bypass=bypass, scale_m=scale_m)
 
 
 def _residual_for(b, log2: int, use_mxu: bool):
-    """Residuals for a TuBatch: fused Pallas kernel (opt-in) or XLA path."""
-    if (USE_PALLAS_RESIDUAL and b.scale_m is None
-            and jax.default_backend() != "cpu"):
-        from p265_tpu.kernels.pallas_itransform import pallas_batch_residual
-        return pallas_batch_residual(
-            jnp.asarray(b.coeffs), jnp.asarray(b.qp), jnp.asarray(b.is_dst),
-            jnp.asarray(b.tskip), jnp.asarray(b.bypass), log2)
+    """Residuals for a TuBatch: Pallas/XLA dispatch (batch_residual_auto)."""
     sm = None if b.scale_m is None else jnp.asarray(b.scale_m)
-    return batch_residual(
+    return _residual_auto_jit(
         jnp.asarray(b.coeffs), jnp.asarray(b.qp), jnp.asarray(b.is_dst),
         jnp.asarray(b.tskip), log2, use_mxu, bypass=jnp.asarray(b.bypass),
         scale_m=sm)
@@ -287,37 +283,7 @@ def _segments_of(pp: PlanePlan):
     return offs, pp.seg_heights, pp.seg_widths
 
 
-def pallas_scan_ok(pp: PlanePlan) -> bool:
-    """True iff this plane's geometry fits the pallas wavefront kernel's
-    fixed 512-lane planeT scratch (kernels/pallas_wavefront.PW).  Wider
-    frames (anything over 472 luma pixels) take the XLA scan path."""
-    _, _, widths = _segments_of(pp)
-    return all(w + 40 <= 512 for w in widths)
-
-
-def planeT_geometry(pp: PlanePlan):
-    """planeT (transposed-plane) geometry for the pallas wavefront kernel.
-
-    Only valid when pallas_scan_ok(pp); callers on the XLA path must not
-    call this (segments wider than 472 px do not fit the 512-lane scratch).
-
-    Returns (offs, heights, widths, tb_table, tr, tl): per-segment row bases
-    into the [tr, tl] transposed scratch (512 rows for wide segments, 256
-    for chroma-width ones)."""
-    offs, heights, widths = _segments_of(pp)
-    tb_table, tb = [], 0
-    # RMW row window is [x & ~7, x + s + 8); blend lanes stop at yl + s
-    for w in widths:
-        tb_table.append(tb)
-        tb += 512 if w + 40 > 256 else 256
-    tl = _round_up(max(heights) + 1, 128)
-    for h, w in zip(heights, widths):
-        assert w + 40 <= 512, "segment too wide for the pallas scan"
-        assert h <= tl
-    return offs, heights, widths, tb_table, tb, tl
-
-
-def _stack_plane(pp: PlanePlan, pallas: bool | None = None, policy=None):
+def _stack_plane(pp: PlanePlan, pallas=None, policy=None):
     """Host: per-size COMPACT per-TU arrays + [n_steps, cap] gather maps.
 
     Every per-TU array carries one extra pad row at index n (scatters into
@@ -325,28 +291,20 @@ def _stack_plane(pp: PlanePlan, pallas: bool | None = None, policy=None):
     Returns (n_steps, {log2: dict}) where each dict holds 'idx_map' plus the
     compact fields consumed by _run_plane_packed.  Cached on the PlanePlan.
 
-    pallas: also build the pallas-wavefront-only fields (okc / pos4), which
-    require the planeT geometry (only valid when pallas_scan_ok(pp)).
-    Default: build them iff the geometry allows it.
+    pallas: ignored (kept for older probe scripts; the pallas wavefront
+    mega-kernel was removed in round 4).
 
     policy: optional ShapePolicy quantizing n_steps and per-bucket lane caps
     to stream-stable values (one compile per stream).
     """
-    if pallas is None:
-        pallas = pallas_scan_ok(pp)
     cached = getattr(pp, "_stacked_cache", None)
-    if (cached is not None and (not pallas or cached[0])
-            and cached[3] is policy):
+    if cached is not None and cached[3] is policy:
         return cached[1], cached[2]
     if policy is not None:
         n_steps = policy.steps(pp.n_steps)
     else:
         n_steps = _round_up(max(pp.n_steps, 1), 8)
     ph, pw = pp.shape
-    if pallas:
-        offs, heights, widths, tb_table, _, _ = planeT_geometry(pp)
-        offs_a = np.asarray(offs)
-        tb_a = np.asarray(tb_table, np.int32)
     coord_dt = np.uint16 if max(ph + GUARD, pw) < 65000 else np.int32
     out = {}
     for log2, b in pp.batches.items():
@@ -387,49 +345,22 @@ def _stack_plane(pp: PlanePlan, pallas: bool | None = None, policy=None):
         d["pos"][n] = (ph, 0)  # pad TUs scatter into the guard region
         if b.scale_m is not None:
             d["scale_m"] = padded(b.scale_m, 16, np.uint8)
-        if pallas:
-            # pallas-kernel fields: scan-ordered availability mask + extended
-            # positions (y, x, planeT row base, segment-local y)
-            size = 1 << log2
-            n2 = 2 * size
-            okp = 256 if size == 32 else 128
-            okc = np.zeros((n, okp), np.int8)
-            # RAW availability, already in spec scan order (frame_plan)
-            okc[:, :2 * n2 + 1] = b.ok_scan
-            seg = np.searchsorted(offs_a, b.pos[:, 0], side="right") - 1
-            pos4 = np.stack([b.pos[:, 0], b.pos[:, 1], tb_a[seg],
-                             b.pos[:, 0] - offs_a[seg]],
-                            axis=1).astype(np.int32)
-            d["okc"] = padded(okc, 0, np.int8)
-            d["pos4"] = padded(pos4, 0, np.int32)
         out[log2] = d
-    pp._stacked_cache = (pallas, n_steps, out, policy)
+    pp._stacked_cache = (None, n_steps, out, policy)
     return n_steps, out
 
 
-def _expand(tu, idx_maps, sizes, use_mxu, pallas_fields: bool = False):
+def _expand(tu, idx_maps, sizes, use_mxu):
     """Device: compact per-TU arrays -> step-stacked scan inputs."""
     stacked = {}
     for log2 in sizes:
         d = tu[log2]
         im = idx_maps[log2]
         sm = d.get("scale_m")
-        res = batch_residual.__wrapped__(
+        res = batch_residual_auto(
             d["coeffs"].astype(jnp.int32), d["qp"].astype(jnp.int32),
             d["is_dst"], d["tskip"], log2, use_mxu, bypass=d["bypass"],
             scale_m=None if sm is None else sm.astype(jnp.int32))
-        if pallas_fields:
-            stacked[log2] = dict(
-                pos4=d["pos4"].astype(jnp.int32)[im],
-                okc=d["okc"][im],
-                counts=d["counts"].astype(jnp.int32),
-                mode=d["mode"].astype(jnp.int32)[im],
-                filter_flag=d["filter_flag"][im],
-                strong_allowed=d["strong_allowed"][im],
-                dc_edge=d["dc_edge"][im],
-                residual=res[im],
-            )
-            continue
         stacked[log2] = dict(
             pos=d["pos"].astype(jnp.int32)[im],
             ref_ys=d["ref_ys"].astype(jnp.int32)[im],
@@ -621,8 +552,7 @@ def _merge_segments(pps_: list, policy=None, host_pred: bool = True):
 def reconstruct_tpu_scan_plane(pp, use_mxu: bool = True):
     """Run the scan for a single PlanePlan; returns the DEVICE plane [shape]."""
     n_steps, stacked = _stack_plane(pp, pallas=False)
-    tu = {log2: {k: v for k, v in d.items()
-                 if k not in ("idx_map", "okc", "pos4")}
+    tu = {log2: {k: v for k, v in d.items() if k != "idx_map"}
           for log2, d in stacked.items()}
     idx_maps = {log2: d["idx_map"] for log2, d in stacked.items()}
     sizes = tuple(sorted(pp.batches.keys()))

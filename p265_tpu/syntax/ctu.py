@@ -361,6 +361,8 @@ class CtuCoder:
         """Code this slice's CTUs.  n_ctbs: encoder-side CTU count for this
         slice (None = to picture end); the decoder stops at the
         end_of_slice_segment_flag.  Returns the number of CTUs coded."""
+        if self._tiles_parallel_ok(n_ctbs):
+            return self._code_tiles_parallel()
         sps = self.sps
         ti = self.tile_info
         wc = sps.pic_width_ctbs
@@ -473,6 +475,81 @@ class CtuCoder:
             for rb in ti.row_bounds[1:-1]:
                 ef[(rb << sps.log2_ctb_size) >> 2, :] &= ~2
         return coded
+
+    # -- tile-parallel native Stage-A ----------------------------------------
+    def _tiles_parallel_ok(self, n_ctbs) -> bool:
+        """Tiles are the codec-native host-parallel axis (SURVEY.md 7.5(a)):
+        entropy + prediction fully independent per tile.  The parallel lane
+        applies when the native parser handles the slice, tiles (not WPP)
+        are on, this is a whole-picture single independent segment with one
+        entry point per remaining tile, and context carry-in is the plain
+        per-tile reinit."""
+        ti = self.tile_info
+        return (self.native is not None and not self.is_enc
+                and n_ctbs is None and self.pps.tiles_enabled and not ti.wpp
+                and not self.sh.dependent_slice_segment
+                and self.start_ctb == 0 and self.sh.first_slice_in_pic
+                and self.substreams is not None
+                and len(ti.segments) > 1
+                and len(self.sh.entry_point_offsets) == len(ti.segments) - 1)
+
+    def _code_tiles_parallel(self) -> int:
+        """Parse every tile substream on its own worker thread: per-lane
+        CABAC engine + fresh context init (== the sequential per-tile
+        reinit) + private bucket/wavefront state; shared picture maps are
+        written to disjoint tile regions.  The C whole-CTU call releases
+        the GIL, so lanes genuinely overlap.  Bit-exact vs the sequential
+        path by construction (identical per-tile decode order)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from p265_tpu import native as native_mod
+        from p265_tpu.hls.bitio import BitReader
+        from p265_tpu.native.parse import NativeParseState
+
+        sps, sh, ti = self.sps, self.sh, self.tile_info
+        wc = sps.pic_width_ctbs
+        segs = ti.segments
+        do_sao = sps.sao_enabled and (sh.sao_luma or sh.sao_chroma)
+        main = self.native
+
+        n_cols = len(ti.col_widths)
+
+        def work(seg_idx: int):
+            seg = segs[seg_idx]
+            ctx = native_mod.NativeContextModels(sh.init_type(), sh.slice_qp)
+            engine = native_mod.NativeCabacDecoder(
+                BitReader(self.substreams.chunks[seg_idx]), ctx)
+            tile = int(ti.tile_of_ctb[seg[0]])
+            region = (ti.col_widths[tile % n_cols] << sps.log2_ctb_size,
+                      ti.row_heights[tile // n_cols] << sps.log2_ctb_size)
+            lane = NativeParseState(sps, self.pps, shared_sao=main.sao,
+                                    region=region)
+            lane.begin_slice(sps, self.pps, sh, self.plan, self.avail,
+                             self.slice_idx)
+            lane.start_segment(sh.slice_qp)
+            coded = 0
+            term = 0
+            for addr in seg:
+                term = lane.parse_ctu(engine, addr,
+                                      int(ti.tile_of_ctb[addr]), do_sao)
+                coded += 1
+                if term:
+                    break
+            if not term and seg_idx < len(segs) - 1:
+                if not engine.decode_terminate():
+                    raise ValueError("end_of_subset_one_bit mismatch")
+            return coded, term, lane
+
+        with ThreadPoolExecutor(max_workers=min(len(segs), 16)) as ex:
+            results = list(ex.map(work, range(len(segs))))
+        main.absorb([lane for _, _, lane in results])
+        if self.pps.tiles_enabled and not self.pps.loop_filter_across_tiles:
+            ef = self.plan.edge_flags
+            for cb in ti.col_bounds[1:-1]:
+                ef[:, (cb << sps.log2_ctb_size) >> 2] &= ~1
+            for rb in ti.row_bounds[1:-1]:
+                ef[(rb << sps.log2_ctb_size) >> 2, :] &= ~2
+        return sum(c for c, _, _ in results)
 
     # -- SAO (spec 7.3.8.3) --------------------------------------------------
     def _code_sao(self, ctb_addr: int) -> None:

@@ -572,7 +572,8 @@ class Encoder:
         for m in cand_modes:
             pred = intra_predict_tu(plane, avail, x, y, size, m, c_idx,
                                     self.sps.strong_intra_smoothing)
-            cost = int(np.abs(orig - pred).sum())
+            cost = int(np.abs(
+                orig - pred[:orig.shape[0], :orig.shape[1]]).sum())
             if best_cost is None or cost < best_cost:
                 best, best_cost = m, cost
         return best, best_cost
@@ -664,7 +665,9 @@ class Encoder:
 
     def _luma_mc_cost(self, ref_plane, x, y, w, h, mvx, mvy, orig):
         pred = combine_uni(mc_luma(ref_plane, x, y, w, h, mvx, mvy))
-        return int(np.abs(orig - pred).sum())
+        # boundary CUs: orig is cropped at the picture edge; cost only the
+        # in-picture samples
+        return int(np.abs(orig - pred[:orig.shape[0], :orig.shape[1]]).sum())
 
     def _motion_search(self, x, y, w, h, lx, ridx, starts):
         """Small-range ME: full-pel around start candidates + quarter refine."""
@@ -712,7 +715,8 @@ class Encoder:
         best_midx, best_mcost = 0, None
         for i, mc in enumerate(merge_cands):
             py_, _, _ = self._mc_pred_pu(mc, x0, y0, size, size)
-            c = int(np.abs(orig_y - py_).sum())
+            c = int(np.abs(orig_y
+                           - py_[:orig_y.shape[0], :orig_y.shape[1]]).sum())
             if best_mcost is None or c < best_mcost:
                 best_midx, best_mcost = i, c
 
@@ -732,7 +736,8 @@ class Encoder:
             ref1 = self.ref_by_poc[self.mctx.list_pocs[1][0]].planes[0]
             bi = combine_bi(mc_luma(ref0, x0, y0, size, size, *mv0),
                             mc_luma(ref1, x0, y0, size, size, *mv1))
-            bi_cost = int(np.abs(orig_y - bi).sum()) + 40
+            bi_cost = int(np.abs(
+                orig_y - bi[:orig_y.shape[0], :orig_y.shape[1]]).sum()) + 40
             options = ((0, me_cost0 + 20, (mv0, (0, 0))),
                        (1, me_cost1 + 20, ((0, 0), mv1)),
                        (2, bi_cost, (mv0, mv1)))
@@ -1135,7 +1140,9 @@ def make_moving_sequence(w: int, h: int, n: int, seed: int = 0):
     base = make_test_image(w + 64, h + 64, seed)
     frames = []
     for i in range(n):
-        dx, dy = 2 * i + (i % 2), 3 * i
+        # wrap the pan inside the 64-px margin so long sequences (30+
+        # frames, DPB stress tests) keep full-size frames
+        dx, dy = (2 * i + (i % 2)) % 64, (3 * i) % 64
         y = base[0][dy:dy + h, dx:dx + w].copy()
         cb = base[1][dy >> 1:(dy >> 1) + (h >> 1), dx >> 1:(dx >> 1) + (w >> 1)].copy()
         cr = base[2][dy >> 1:(dy >> 1) + (h >> 1), dx >> 1:(dx >> 1) + (w >> 1)].copy()

@@ -68,12 +68,12 @@ def run(label, mutate):
     m = _thaw(meta)
     mutate(m)
     mt = _freeze(m)
-    out = _decode_batch_jit(dbufs, mt, True, False, False, refs=refs)
+    out = _decode_batch_jit(dbufs, mt, True, refs=refs)
     np.asarray(out[0][:1, :1, :1])
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        out = _decode_batch_jit(dbufs, mt, True, False, False, refs=refs)
+        out = _decode_batch_jit(dbufs, mt, True, refs=refs)
         np.asarray(out[0][:1, :1, :1])
         best = min(best, time.perf_counter() - t0)
     log(f"{label:24s} {best*1e3:8.0f} ms")

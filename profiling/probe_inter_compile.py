@@ -56,7 +56,7 @@ def compile_variant(label, mutate):
     mutate(m)
     mt = _freeze(m)
     t0 = time.perf_counter()
-    _decode_batch_jit.lower(dbufs, mt, True, False, False,
+    _decode_batch_jit.lower(dbufs, mt, True,
                             refs=refs_in).compile()
     log(f"compile {label:14s} {time.perf_counter() - t0:8.1f} s")
 

@@ -103,7 +103,7 @@ from p265_tpu.pipeline.batch_decode import _decode_batch_jit
 
 def dispatch():
     out = _decode_batch_jit(tuple(jnp.asarray(b) for b in bufs), meta, True,
-                            False, False, refs=None)
+                            refs=None)
     return [np.asarray(o) for o in out]
 
 timeit("upload+dispatch+fetch", dispatch)

@@ -39,9 +39,5 @@ def test_tpu_inter_mc_path():
     _run("inter_mc")
 
 
-def test_tpu_pallas_wavefront_path():
-    from p265_tpu.pipeline.batch_decode import USE_PALLAS_SCAN
-    if not USE_PALLAS_SCAN:
-        pytest.skip("USE_PALLAS_SCAN disabled (kernel not yet Mosaic-clean); "
-                    "this gate must pass before re-enabling it")
-    _run("pscan")
+def test_tpu_pallas_residual_path():
+    _run("presid")

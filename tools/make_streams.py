@@ -29,11 +29,11 @@ def _enc(w, h, qp=32, **kw):
     return Encoder(sps, pps, qp=qp, **kw), sps, pps
 
 
-def _intra(w, h, seed=3, qp=32):
+def _intra(w, h, seed=3, qp=32, **pps_kw):
     from p265_tpu.hls.params import PPS, SPS
     from p265_tpu.testgen.encoder import IntraEncoder, make_test_image
     sps = SPS(pic_width=w, pic_height=h)
-    pps = PPS(init_qp=qp, sign_data_hiding=True)
+    pps = PPS(init_qp=qp, sign_data_hiding=True, **pps_kw)
     img = make_test_image(w, h, seed)
     stream, _, _ = IntraEncoder(sps, pps, qp=qp, seed=seed).encode_frame(img)
     return stream
@@ -54,6 +54,8 @@ GENERATORS = {
     "s416_ldp4": lambda: _gop(416, 240, 4, "LDP"),
     "s832_ldp4": lambda: _gop(832, 480, 4, "LDP"),
     "s4k": lambda: _intra(3840, 2160),
+    "s1080_t8": lambda: _intra(1920, 1080, tiles_enabled=True,
+                               num_tile_columns=4, num_tile_rows=2),
 }
 
 

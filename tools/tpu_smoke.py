@@ -7,12 +7,12 @@ Usage:
                                        # (a Mosaic SIGABRT only kills that
                                        # path's process, not the qualifier)
   python tools/tpu_smoke.py <path>     # run one path in-process; exit 0 iff
-                                       # bit-exact.  paths: xla_intra, pscan,
+                                       # bit-exact.  paths: xla_intra,
                                        # inter_mc, filters_device
 
 The driver bench (bench.py) runs its own bit-exactness gate before timing;
-this script is the wider qualifier used to (re-)enable optional kernels such
-as pipeline/batch_decode.USE_PALLAS_SCAN.
+this script is the wider qualifier for optional kernels such as the fused
+Pallas residual path (kernels/itransform.USE_PALLAS_RESIDUAL).
 """
 from __future__ import annotations
 
@@ -36,26 +36,30 @@ def _mk_intra(seed, w=416, h=240, qp=32):
     return GoldenDecoder().decode_stream(stream)[0]
 
 
-def _check_batch(pscan: bool) -> None:
+def _check_batch() -> None:
     from p265_tpu.pipeline.batch_decode import decode_batch
     from p265_tpu.plan.frame_plan import build_tensor_plan
     golds = [_mk_intra(s) for s in range(2)]
     tplans = [build_tensor_plan(g.plan) for g in golds]
-    pre, filt = decode_batch(tplans, [g.plan for g in golds], pscan=pscan)
+    pre, filt = decode_batch(tplans, [g.plan for g in golds])
     for g, p3, f3 in zip(golds, pre, filt):
         for c in range(3):
             assert np.array_equal(np.asarray(p3[c]), g.prefilter[c]), c
             assert np.array_equal(np.asarray(f3[c]), g.planes[c]), c
 
 
+def path_presid():
+    """Fused Pallas dequant+IDCT in the production program (TPU backend
+    routes 8x8+ residual batches through kernels/pallas_itransform)."""
+    from p265_tpu.kernels import itransform as IT
+    assert IT.USE_PALLAS_RESIDUAL
+    _check_batch()
+
+
 def path_xla_intra():
     """416x240 intra batch, XLA scan + MXU intra + device filters."""
-    _check_batch(pscan=False)
+    _check_batch()
 
-
-def path_pscan():
-    """Same batch through the Pallas wavefront mega-kernel (Mosaic)."""
-    _check_batch(pscan=True)
 
 
 def path_inter_mc():
@@ -80,8 +84,8 @@ def path_inter_mc():
 
 
 PATHS = {
+    "presid": path_presid,
     "xla_intra": path_xla_intra,
-    "pscan": path_pscan,
     "inter_mc": path_inter_mc,
 }
 
