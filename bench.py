@@ -2,21 +2,28 @@
 
 Metric (BASELINE.json, verbatim denominator): 1080p Main-profile frames/s
 per chip, bit-exact -- measured END-TO-END through the production
-TpuDecoder (native C Stage-A parse -> policy-stabilized single-dispatch
-Stage-B with fused device MC from device-resident DPB slabs -> deblock+SAO)
-on a 4-frame 1080p low-delay-P stream with inter pictures (testgen encoder,
-deterministic).  The decoded YUV is gated bit-exact against the golden
-scalar decoder before timing.  vs_baseline is the speedup over that golden
-NumPy decoder on the same stream (stand-in for the reference pure-Python
-decoder, which publishes no numbers and is orders of magnitude slower
-still -- BASELINE.md).
+PipelinedTpuDecoder (native C Stage-A parse -> policy-stabilized
+single-dispatch Stage-B with fused device MC from device-resident DPB
+slabs -> deblock+SAO, with parse/pack, device execution, and d2h fetch
+running on separate threads) on a 4-frame 1080p low-delay-P stream with
+inter pictures (testgen encoder, deterministic).  The decoded YUV is gated
+bit-exact against the golden scalar decoder before timing.  vs_baseline is
+the speedup over that golden NumPy decoder on the same stream (stand-in
+for the reference pure-Python decoder, which publishes no numbers and is
+orders of magnitude slower still -- BASELINE.md).
 
 Cold-path numbers (compile + parse/pack/device split) are printed to stderr
 for the record; the driver consumes only the final stdout JSON line.
+
+Run-to-run hygiene (VERDICT.md r4 weak #1): prior runs' outputs are
+dropped and gc.collect() runs before each timed decode -- a growing gen-2
+heap made pack_s/parse_s degrade run-over-run (driver: pack 2.9->6.3 s).
 """
 from __future__ import annotations
 
+import gc
 import json
+import os
 import sys
 import time
 
@@ -26,15 +33,28 @@ def log(*a):
           flush=True)
 
 
+def _stats(d):
+    return {k: round(v, 3) for k, v in d.stats.items()
+            if isinstance(v, float)}
+
+
 def main():
     import numpy as np
 
-    from tools.make_streams import get_stream
+    from tools.make_streams import get_stream, stream_path
     from p265_tpu.golden.decoder import GoldenDecoder
-    from p265_tpu.pipeline.decoder import TpuDecoder
+    from p265_tpu.pipeline.async_decoder import PipelinedTpuDecoder
 
     data = get_stream("s1080_ldp4")   # 1920x1080, IDR + 3 P frames, QP32
     n_frames = 4
+
+    # constructing the decoder FIRST starts the tunnel warm-up thread: the
+    # axon tunnel's first d2h round trip costs 17-94 s (probe_first_wall)
+    # and now overlaps the golden-oracle decode below
+    t0 = time.perf_counter()
+    dec = PipelinedTpuDecoder()
+    log(f"decoder init (warm-up thread started): "
+        f"{time.perf_counter() - t0:.2f} s")
 
     t0 = time.perf_counter()
     gold = GoldenDecoder().decode_stream(data)
@@ -44,12 +64,9 @@ def main():
 
     # cold decode: compile (persistent-cache assisted) + first stream pass
     t0 = time.perf_counter()
-    dec = TpuDecoder()
     frames = dec.decode_stream(data)
     cold_s = time.perf_counter() - t0
-    log(f"cold decode: {cold_s:.1f} s; stats:",
-        {k: round(v, 3) for k, v in dec.stats.items()
-         if isinstance(v, float)})
+    log(f"cold decode: {cold_s:.1f} s; stats:", _stats(dec))
 
     # correctness gate: every frame bit-exact vs golden (filtered output)
     assert len(frames) == len(gold) == n_frames
@@ -58,23 +75,40 @@ def main():
             assert np.array_equal(np.asarray(f.planes[c]), g.planes[c]), \
                 ("bit-exact gate", f.poc, c)
     log("bit-exact gate vs golden: OK")
+    del gold, frames, dec
 
     # warm: repeated full-stream decodes through fresh decoder objects
-    # (jit cache hot; includes parse + pack + upload + device + fetch)
-    best = 1e9
+    # (jit cache hot; includes parse + pack + upload + device + fetch --
+    # decode_stream returns only after every output pixel is on the host)
+    times = []
     for _ in range(3):
-        d = TpuDecoder()
+        gc.collect()
+        d = PipelinedTpuDecoder()
         t0 = time.perf_counter()
         out = d.decode_stream(data)
-        for f in out:   # e2e includes materializing every decoded pixel
-            for c in range(3):
-                np.asarray(f.planes[c])
         dt = time.perf_counter() - t0
-        best = min(best, dt)
-        log(f"warm decode: {dt:.2f} s; stats:",
-            {k: round(v, 3) for k, v in d.stats.items()
-             if isinstance(v, float)})
+        assert all(f.planes[c] is not None for f in out for c in range(3))
+        times.append(dt)
+        log(f"warm decode: {dt:.2f} s; stats:", _stats(d))
+        del out, d
+    best = min(times)
+    spread = (max(times) - best) / best
+    log(f"warm runs: {[round(t, 2) for t in times]} s "
+        f"(spread {spread * 100:.0f}%)")
     fps = n_frames / best
+
+    # steady-state row (stderr only): longer stream if already generated
+    long_name = "s1080_ldp16"
+    if os.path.exists(stream_path(long_name)):
+        data16 = get_stream(long_name)
+        gc.collect()
+        d = PipelinedTpuDecoder()
+        t0 = time.perf_counter()
+        out = d.decode_stream(data16)
+        dt = time.perf_counter() - t0
+        log(f"steady-state {long_name}: {len(out)} frames in {dt:.2f} s "
+            f"({len(out) / dt:.3f} fps); stats:", _stats(d))
+        del out, d
 
     print(json.dumps({
         "metric": "1080p Main-profile frames/s/chip (e2e LDP inter, "

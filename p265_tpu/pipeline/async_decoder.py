@@ -21,11 +21,17 @@ from p265_tpu.pipeline.decoder import TpuDecoder
 
 
 class PipelinedTpuDecoder(TpuDecoder):
+    """Three-stage pipeline: parse (caller thread) / pack+dispatch (recon
+    worker) / d2h materialize (fetch worker).  Device execution is async
+    behind the dispatch, so steady state runs all four resources --
+    parse CPU, pack CPU, the TPU, and the tunnel d2h -- concurrently."""
+
     def __init__(self, **kw):
         super().__init__(**kw)
         self._q: queue.Queue = queue.Queue(maxsize=4)
         self._worker = None
         self._worker_err = None
+        self._fetch_async = True
 
     def _ensure_worker(self):
         if self._worker is None:
@@ -47,7 +53,7 @@ class PipelinedTpuDecoder(TpuDecoder):
 
     def _schedule_recon(self, task: dict) -> None:
         task["tplan"] = self._build_tplan(task["plan"], skip_pred=True)
-        self.shape_policy.observe(task["tplan"])
+        self.shape_policy.observe(task["tplan"], n_refs=len(task["refs"]))
         self._ensure_worker()
         if self._recon_queue is not None:
             self._recon_queue.append(task)
@@ -67,3 +73,4 @@ class PipelinedTpuDecoder(TpuDecoder):
         if self._worker_err is not None:
             err, self._worker_err = self._worker_err, None
             raise err
+        self._wait_fetches()

@@ -11,11 +11,42 @@ overhead alone.  Set fused=False to fall back to per-stage device filters.
 """
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from p265_tpu.golden.decoder import DecoderBase, apply_loop_filters
 from p265_tpu.plan.frame_plan import build_tensor_plan
 from p265_tpu.syntax.ctu import FramePlan
+
+_warmup_started = False
+_warmup_lock = threading.Lock()
+
+
+def start_tunnel_warmup() -> None:
+    """Fire a tiny dispatch+fetch on a daemon thread, once per process.
+
+    The axon tunnel's FIRST d2h round trip in a process costs 17-94 s
+    (measured, profiling/probe_first_wall.py) regardless of program size --
+    server-side session setup, not compile.  Paying it on a background
+    thread at decoder construction overlaps it with Stage-A parse (and, in
+    bench.py, with the golden-oracle decode) instead of stacking it onto
+    the first frame's fetch.  (VERDICT.md round 4, missing #2.)"""
+    global _warmup_started
+    with _warmup_lock:
+        if _warmup_started:
+            return
+        _warmup_started = True
+
+    def work():
+        try:
+            import jax.numpy as jnp
+            np.asarray(jnp.arange(256, dtype=jnp.int32) + 1)
+        except Exception:
+            pass
+
+    threading.Thread(target=work, daemon=True,
+                     name="p265-tunnel-warmup").start()
 
 
 class TpuDecoder(DecoderBase):
@@ -39,7 +70,11 @@ class TpuDecoder(DecoderBase):
                          use_native_parse=use_native_parse)
         from p265_tpu.compile_cache import enable_persistent_cache
         enable_persistent_cache()
+        start_tunnel_warmup()
         self.use_mxu = use_mxu
+        self._fetch_async = False       # PipelinedTpuDecoder turns this on
+        self._fetch_exec = None
+        self._fetch_futs: list = []
         self.filters_on_device = filters_on_device
         self.fused = fused and apply_filters and filters_on_device
         self._pending_filtered = None
@@ -123,10 +158,36 @@ class TpuDecoder(DecoderBase):
         # (jax.Array.copy_to_host_async was tried for the output planes too
         # and WEDGES the axon tunnel at 1080p -- keep the fetch synchronous.)
         frame.prefilter = [pl[0], pc[0], pc[1]]
+        if self._fetch_async:
+            # materialize on the fetch worker: the d2h (which also absorbs
+            # the wait for this frame's device execution) overlaps the NEXT
+            # frame's pack + dispatch on this thread (VERDICT r4 ask #1b)
+            self._fetch_futs.append(
+                self._fetch_executor().submit(self._materialize, frame, pic))
+        else:
+            frame.planes = [np.asarray(p, np.int32) for p in pic.planes]
+            self.stats["fetch_s"] = (self.stats.get("fetch_s", 0.0)
+                                     + _time.perf_counter() - t2)
+        self.stats["recon_s"] += _time.perf_counter() - t1
+
+    def _fetch_executor(self):
+        if self._fetch_exec is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._fetch_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="p265-fetch")
+        return self._fetch_exec
+
+    def _materialize(self, frame, pic) -> None:
+        import time as _time
+        t0 = _time.perf_counter()
         frame.planes = [np.asarray(p, np.int32) for p in pic.planes]
         self.stats["fetch_s"] = (self.stats.get("fetch_s", 0.0)
-                                 + _time.perf_counter() - t2)
-        self.stats["recon_s"] += _time.perf_counter() - t1
+                                 + _time.perf_counter() - t0)
+
+    def _wait_fetches(self) -> None:
+        futs, self._fetch_futs = self._fetch_futs, []
+        for f in futs:
+            f.result()   # re-raises fetch-side errors in decode order
 
     def _ref_stacks(self, refs: dict, poc_list: list, n_refs: int):
         """-> 3 tuples of n_refs device uint8 planes (y, cb, cr), padded by

@@ -212,6 +212,55 @@ class ShapePolicy:
         self._n_refs = max(self._n_refs, needed, 1)
         return self._n_refs
 
+    # -- multi-process agreement (shard/distributed.py) ---------------------
+    # Fixed-layout int vector of every shape knob, so N processes can
+    # allgather + elementwise-max their policies and compile IDENTICAL
+    # Stage-B programs (compile skew across hosts = deadlock on a real pod).
+    _VEC_FLAGS = ("_saw_pus", "_saw_bi", "_saw_pcm", "_want_pred",
+                  "_want_scale", "_want_masks")
+    _VEC_LOG2 = (2, 3, 4, 5)
+    _VEC_MC = ("y16", "y8", "y4", "c8", "c4", "c2", "i2", "i3", "i4", "i5")
+
+    def state_vector(self) -> np.ndarray:
+        """-> int64 vector [6 flags + 2 profiles x (steps, n_refs, 4 caps,
+        4 rows, 10 mc_rows)] = 46 entries.  Zero = unobserved."""
+        root = self._root()
+        out = [int(getattr(root, f)) for f in self._VEC_FLAGS]
+        for kind in (0, 1):
+            p = root._profiles.get(kind) or ShapePolicy()
+            out.append(p._steps)
+            out.append(p._n_refs)
+            out += [p._caps.get(l, 0) for l in self._VEC_LOG2]
+            out += [p._rows.get(l, 0) for l in self._VEC_LOG2]
+            out += [p._mc_rows.get(k, 0) for k in self._VEC_MC]
+        return np.asarray(out, np.int64)
+
+    def merge_state(self, vec) -> None:
+        """Elementwise-max a state_vector into this policy (all entries are
+        running maxima of ladder values, so max-merge is exact)."""
+        root = self._root()
+        vec = [int(v) for v in vec]
+        for i, f in enumerate(self._VEC_FLAGS):
+            if vec[i]:
+                setattr(root, f, True)
+        i = len(self._VEC_FLAGS)
+        for kind in (0, 1):
+            p = self.profile(kind)
+            p._steps = max(p._steps, vec[i]); i += 1
+            p._n_refs = max(p._n_refs, vec[i]); i += 1
+            for l in self._VEC_LOG2:
+                if vec[i]:
+                    p._caps[l] = max(p._caps.get(l, 0), vec[i])
+                i += 1
+            for l in self._VEC_LOG2:
+                if vec[i]:
+                    p._rows[l] = max(p._rows.get(l, 0), vec[i])
+                i += 1
+            for k in self._VEC_MC:
+                if vec[i]:
+                    p._mc_rows[k] = max(p._mc_rows.get(k, 0), vec[i])
+                i += 1
+
     @staticmethod
     def kind_of(fp) -> int:
         """Frame kind: 1 for pictures needing prediction machinery (inter

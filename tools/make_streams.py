@@ -50,6 +50,7 @@ def _gop(w, h, n, structure, seed=5, qp=32):
 GENERATORS = {
     "s1080": lambda: _intra(1920, 1080),
     "s1080_ldp4": lambda: _gop(1920, 1080, 4, "LDP"),
+    "s1080_ldp16": lambda: _gop(1920, 1080, 16, "LDP"),
     "s1080_ra8": lambda: _gop(1920, 1080, 8, "RA"),
     "s416_ldp4": lambda: _gop(416, 240, 4, "LDP"),
     "s832_ldp4": lambda: _gop(832, 480, 4, "LDP"),
