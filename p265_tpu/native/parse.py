@@ -180,7 +180,15 @@ class NativeParseState:
     per-4x4 maps, availability grid, slice_of_ctb and SAO array are shared
     picture state written to disjoint tile regions."""
 
-    def __init__(self, sps, pps, shared_sao=None, region=None):
+    def __init__(self, sps, pps, shared_sao=None, region=None,
+                 shared_planes=None):
+        """shared_planes: WPP-row lane mode -- alias another state's
+        tavail/tstep wavefront grids instead of allocating private ones.
+        Tile lanes keep PRIVATE grids (tiles are prediction-independent);
+        WPP rows share them because a row's intra TUs reference the row
+        above, and the 2-CTU skew makes every cross-row read
+        happen-after its write (spec 9.3.1 -- the skew exists precisely
+        to cover the above-right reference reach)."""
         self.sps, self.pps = sps, pps
         h, w = sps.pic_height, sps.pic_width
         # region: (w, h) record-capacity bound for a tile lane -- lane
@@ -222,8 +230,11 @@ class NativeParseState:
         for p in range(3):
             ph, pw = shapes[p]
             ph4, pw4 = (ph + 3) >> 2, (pw + 3) >> 2
-            tavail = np.zeros(ph4 * pw4, np.uint8)
-            tstep = np.zeros(ph4 * pw4, np.int32)
+            if shared_planes is not None:
+                tavail, tstep = shared_planes._pl_bufs[p]
+            else:
+                tavail = np.zeros(ph4 * pw4, np.uint8)
+                tstep = np.zeros(ph4 * pw4, np.int32)
             self._pl_bufs.append((tavail, tstep))
             pl = self._pl[p]
             pl.tavail = _ptr(tavail, _U8P)
@@ -244,6 +255,14 @@ class NativeParseState:
         self._params = None
         self._maps = None
         self._maps_keepalive = None
+
+    def pin_plane_context(self, cur_tile: int, slice_idx: int) -> None:
+        """Mark the plane grids as already belonging to (tile, slice) so the
+        C parser's reset-on-change memset never fires in this lane -- it
+        would wipe the SHARED grids other WPP row lanes are reading."""
+        for p in range(3):
+            self._pl[p].last_tile = cur_tile
+            self._pl[p].last_slice = slice_idx
 
     # -- per-slice setup ------------------------------------------------------
     def begin_slice(self, sps, pps, sh, plan, avail, slice_idx: int) -> None:

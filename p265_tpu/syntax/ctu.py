@@ -379,6 +379,8 @@ class CtuCoder:
         end_of_slice_segment_flag.  Returns the number of CTUs coded."""
         if self._tiles_parallel_ok(n_ctbs):
             return self._code_tiles_parallel()
+        if self._wpp_parallel_ok(n_ctbs):
+            return self._code_wpp_parallel()
         sps = self.sps
         ti = self.tile_info
         wc = sps.pic_width_ctbs
@@ -568,6 +570,121 @@ class CtuCoder:
             for rb in ti.row_bounds[1:-1]:
                 ef[(rb << sps.log2_ctb_size) >> 2, :] &= ~2
         return sum(c for c, _, _ in results)
+
+    def _wpp_parallel_ok(self, n_ctbs) -> bool:
+        """WPP rows are the second codec-native host-parallel axis (SURVEY.md
+        7.5(a)-(b) row wavefront).  Applies when the native parser handles
+        the slice, WPP (not tiles) is on, this is a whole-picture single
+        independent segment with one entry point per remaining row, and the
+        host has enough cores (parse_workers)."""
+        ti = self.tile_info
+        return (parse_workers() >= 2
+                and self.native is not None and not self.is_enc
+                and n_ctbs is None and ti.wpp and not self.pps.tiles_enabled
+                and not self.sh.dependent_slice_segment
+                and self.start_ctb == 0 and self.sh.first_slice_in_pic
+                and self.substreams is not None
+                and len(ti.segments) > 1
+                and len(self.sh.entry_point_offsets) == len(ti.segments) - 1)
+
+    def _code_wpp_parallel(self) -> int:
+        """Parse WPP row substreams on worker threads with the spec's 2-CTU
+        skew (9.3.1): lane r parses CTU x only after lane r-1 completed CTU
+        x+1, and starts only after lane r-1's post-CTU-1 context snapshot.
+        The wavefront-step grids and picture maps are SHARED across lanes
+        (rows reference the row above; the skew makes every cross-row read
+        happen-after its write -- that reach is exactly what the skew
+        bounds), while CABAC engine/contexts, buckets and motion events are
+        lane-private and absorbed in row order, which equals raster order.
+        Bit-exact vs the sequential path by construction."""
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from p265_tpu import native as native_mod
+        from p265_tpu.hls.bitio import BitReader
+        from p265_tpu.native.parse import NativeParseState
+
+        sps, sh = self.sps, self.sh
+        wc = sps.pic_width_ctbs
+        segs = self.tile_info.segments
+        do_sao = sps.sao_enabled and (sh.sao_luma or sh.sao_chroma)
+        main = self.native
+        n_rows = len(segs)
+        progress = [0] * n_rows      # CTUs completed per row lane
+        snaps: list = [None] * n_rows
+        err: list = []
+        cond = threading.Condition()
+
+        def work(r: int):
+            try:
+                return self._wpp_lane(r, segs, wc, do_sao, main,
+                                      progress, snaps, err, cond,
+                                      native_mod, BitReader,
+                                      NativeParseState)
+            except Exception as e:
+                with cond:
+                    err.append(e)
+                    cond.notify_all()
+                raise
+
+        with ThreadPoolExecutor(max_workers=min(n_rows,
+                                                parse_workers())) as ex:
+            results = list(ex.map(work, range(n_rows)))
+        if err:
+            raise err[0]
+        main.absorb([lane for _, lane in results])
+        return sum(c for c, _ in results)
+
+    def _wpp_lane(self, r, segs, wc, do_sao, main, progress, snaps, err,
+                  cond, native_mod, BitReader, NativeParseState):
+        sps, sh = self.sps, self.sh
+        seg = segs[r]
+        ctx = native_mod.NativeContextModels(sh.init_type(), sh.slice_qp)
+        if r > 0 and wc > 1:
+            # start only after the row above snapshotted its post-CTU-1
+            # state (spec 9.3.1 sync); single slice => source always ok
+            with cond:
+                cond.wait_for(lambda: progress[r - 1] >= 2 or err)
+                if err:
+                    return 0, None
+                snap = snaps[r - 1]
+            ctx.restore(snap)
+        engine = native_mod.NativeCabacDecoder(
+            BitReader(self.substreams.chunks[r]), ctx)
+        lane = NativeParseState(sps, self.pps, shared_sao=main.sao,
+                                region=(sps.pic_width, sps.ctb_size),
+                                shared_planes=main)
+        lane.begin_slice(sps, self.pps, sh, self.plan, self.avail,
+                         self.slice_idx)
+        lane.start_segment(sh.slice_qp)
+        lane.pin_plane_context(0, self.slice_idx)
+        coded = 0
+        term = 0
+        for i, addr in enumerate(seg):
+            if r > 0:
+                need = min(i + 2, len(segs[r - 1]))
+                with cond:
+                    cond.wait_for(lambda: progress[r - 1] >= need or err)
+                    if err:
+                        return coded, lane
+            term = lane.parse_ctu(engine, addr, 0, do_sao)
+            coded += 1
+            with cond:
+                progress[r] = coded
+                if coded == 2:
+                    snaps[r] = ctx.snapshot()
+                cond.notify_all()
+            if term:
+                break
+        with cond:
+            # unblock waiters even on early termination (corrupt stream):
+            # the downstream bit-exact/terminate checks own the error path
+            progress[r] = len(seg)
+            cond.notify_all()
+        if not term and r < len(segs) - 1:
+            if not engine.decode_terminate():
+                raise ValueError("end_of_subset_one_bit mismatch")
+        return coded, lane
 
     # -- SAO (spec 7.3.8.3) --------------------------------------------------
     def _code_sao(self, ctb_addr: int) -> None:

@@ -110,3 +110,49 @@ def test_tiles_plus_wpp_p_frames():
     for t, g in zip(tpu, gold):
         for c in range(3):
             assert np.array_equal(np.asarray(t.planes[c]), g.planes[c])
+
+
+def test_wpp_parallel_rows_bit_exact(monkeypatch):
+    """WPP row lanes on worker threads (2-CTU skew, shared wavefront grids)
+    produce bit-identical output to the sequential parse -- intra and P
+    pictures, filters on (VERDICT r4 ask #4 / SURVEY.md 7.5(a)-(b))."""
+    from p265_tpu.syntax.ctu import CtuCoder
+
+    sps = SPS(pic_width=256, pic_height=192, temporal_mvp_enabled=True)
+    pps = PPS(init_qp=32, sign_data_hiding=True,
+              entropy_coding_sync_enabled=True)
+    frames = make_moving_sequence(256, 192, 3, seed=21)
+    stream, _ = Encoder(sps, pps, qp=32, seed=21).encode_sequence(frames)
+
+    monkeypatch.setenv("P265_TPU_PARSE_WORKERS", "1")
+    seq = GoldenDecoder(use_native_parse=True).decode_stream(stream)
+
+    monkeypatch.setenv("P265_TPU_PARSE_WORKERS", "3")
+    used = []
+    orig = CtuCoder._code_wpp_parallel
+    monkeypatch.setattr(CtuCoder, "_code_wpp_parallel",
+                        lambda self: used.append(1) or orig(self))
+    par = GoldenDecoder(use_native_parse=True).decode_stream(stream)
+    assert used, "WPP-parallel path did not engage"
+    assert len(seq) == len(par) == 3
+    for s, p in zip(seq, par):
+        for c in range(3):
+            assert np.array_equal(s.planes[c], p.planes[c]), (s.poc, c)
+
+
+def test_wpp_parallel_stands_down_below_break_even(monkeypatch):
+    """Below the measured break-even core count the lanes auto-disable
+    (this 2-CPU host measured 0.61-0.66x): parse_workers()==1 and the
+    parallel gates return False."""
+    import p265_tpu.syntax.ctu as ctu_mod
+
+    monkeypatch.delenv("P265_TPU_PARSE_WORKERS", raising=False)
+    monkeypatch.setattr(ctu_mod.os, "cpu_count", lambda: 2) \
+        if hasattr(ctu_mod, "os") else None
+    import os as _os
+    monkeypatch.setattr(_os, "cpu_count", lambda: 2)
+    assert ctu_mod.parse_workers() == 1
+    monkeypatch.setattr(_os, "cpu_count", lambda: 8)
+    assert ctu_mod.parse_workers() == 8
+    monkeypatch.setenv("P265_TPU_PARSE_WORKERS", "0")
+    assert ctu_mod.parse_workers() == 0
