@@ -41,11 +41,11 @@ class PipelinedTpuDecoder(TpuDecoder):
 
     def _run_worker(self):
         while True:
-            task = self._q.get()
-            if task is None:
+            group = self._q.get()
+            if group is None:
                 return
             try:
-                self._run_recon(task)
+                self._run_recon_group(group)
             except Exception as e:  # surfaced on flush
                 self._worker_err = e
             finally:
@@ -59,15 +59,18 @@ class PipelinedTpuDecoder(TpuDecoder):
             self._recon_queue.append(task)
             if len(self._recon_queue) >= self.calibrate_frames:
                 held, self._recon_queue = self._recon_queue, None
-                for t in held:
-                    self._q.put(t)
+                self._put_groups(held)
             return
-        self._q.put(task)
+        self._q.put([task])
+
+    def _put_groups(self, tasks: list) -> None:
+        from p265_tpu.pipeline.decoder import plan_frame_groups
+        for g in plan_frame_groups(tasks, self.frame_dag_max):
+            self._q.put(g)
 
     def _drain_recon(self, stop_deferring: bool = False) -> None:
         held, self._recon_queue = self._recon_queue, None
-        for t in held or ():
-            self._q.put(t)
+        self._put_groups(held or [])
         if self._worker is not None:
             self._q.join()
         if self._worker_err is not None:

@@ -170,12 +170,17 @@ def _build_batch(tplans: list, plans: list, policy=None, mc=None):
 
     policy: optional ShapePolicy -- quantizes every data-dependent shape to
     stream-stable ladder values so one compile serves the whole stream.
-    mc: optional fused-MC block arrays (kernels.mc.mc_arrays_padded, F=1
-    only): the prediction planes are then computed INSIDE the program from
+    mc: optional PER-FRAME list of fused-MC block arrays (one
+    kernels.mc.mc_arrays_padded dict per tplan): each frame's prediction
+    planes are then computed INSIDE the program from that frame's
     device-resident reference slabs instead of being uploaded densely.
+    F>1 with mc is the frame-DAG batch path (mutually independent frames,
+    e.g. hierarchical-B siblings, in ONE dispatch).
     """
     F = len(tplans)
-    assert mc is None or F == 1, "fused MC path is per-picture (F=1)"
+    if mc is not None and not isinstance(mc, (list, tuple)):
+        mc = [mc]
+    assert mc is None or len(mc) == F, "one MC dict per frame"
     sps = plans[0].sps
     H, W = sps.pic_height, sps.pic_width
     Hc, Wc = H >> 1, W >> 1
@@ -288,15 +293,18 @@ def _build_batch(tplans: list, plans: list, policy=None, mc=None):
     mc_bi = False
     if mc is not None:
         mc_bi = policy is not None and policy.saw_bi
-        mcs = []
-        for grp in ("y", "c"):
-            for block in sorted(mc[grp]):
-                fields = {}
-                for f, a in sorted(mc[grp][block].items()):
-                    fields[f] = len(arrays)
-                    arrays.append(np.ascontiguousarray(a))
-                mcs.append((grp, block, tuple(sorted(fields.items()))))
-        mc_specs = tuple(mcs)
+        per_frame = []
+        for fmc in mc:
+            mcs = []
+            for grp in ("y", "c"):
+                for block in sorted(fmc[grp]):
+                    fields = {}
+                    for f, a in sorted(fmc[grp][block].items()):
+                        fields[f] = len(arrays)
+                        arrays.append(np.ascontiguousarray(a))
+                    mcs.append((grp, block, tuple(sorted(fields.items()))))
+            per_frame.append(tuple(mcs))
+        mc_specs = tuple(per_frame)
 
     itu_specs = None
     if itu is not None:
@@ -356,27 +364,34 @@ def _decode_batch_jit(bufs, meta, use_mxu: bool = True, refs=None):
     if "pred" in fp:
         pred = fp["pred"].astype(jnp.int32)
     if m.get("mc") is not None:
-        # fused MC: prediction planes computed here from the device-resident
-        # reference slabs (refs = 3 tuples of [H,W]/[Hc,Wc] uint8 planes)
+        # fused MC: per-frame prediction planes computed here from each
+        # frame's device-resident reference slabs (refs = per-frame 3-tuples
+        # of tuples of [H,W]/[Hc,Wc] uint8 planes); frame-DAG batches (F>1)
+        # place each frame's planes at its segment offsets
         from p265_tpu.kernels.mc import mc_pred_plane
-        g = {"y": {}, "c": {}}
-        for grp, block, fields in m["mc"]:
-            g[grp][block] = {f: arrays[i] for f, i in fields}
-
-        def _mc(grp, stack, wp_key, shape, taps):
-            return mc_pred_plane(stack, g[grp], shape, taps,
-                                 m["mc_bi"], wp_key)
-
         Hf, Wf, Hcf, Wcf = m["H"], m["W"], m["Hc"], m["Wc"]
-        pred_y = _mc("y", jnp.stack(refs[0]), "wp_0", (Hf, Wf), 8)
-        pred_cb = _mc("c", jnp.stack(refs[1]), "wp_1", (Hcf, Wcf), 4)
-        pred_cr = _mc("c", jnp.stack(refs[2]), "wp_2", (Hcf, Wcf), 4)
+        F_, seg_h, seg_hc = m["F"], m["seg_h"], m["seg_hc"]
         total_h, pw = m["shape"]
         pred = jnp.zeros((total_h, pw), jnp.int32)
-        pred = pred.at[:Hf, :Wf].set(pred_y)
-        o1, o2 = m["seg_h"], m["seg_h"] + m["seg_hc"]
-        pred = pred.at[o1:o1 + Hcf, :Wcf].set(pred_cb)
-        pred = pred.at[o2:o2 + Hcf, :Wcf].set(pred_cr)
+        for f, mspec in enumerate(m["mc"]):
+            g = {"y": {}, "c": {}}
+            for grp, block, fields in mspec:
+                g[grp][block] = {fl: arrays[i] for fl, i in fields}
+            rf = refs[f]
+
+            def _mc(grp, stack, wp_key, shape, taps):
+                return mc_pred_plane(stack, g[grp], shape, taps,
+                                     m["mc_bi"], wp_key)
+
+            pred_y = _mc("y", jnp.stack(rf[0]), "wp_0", (Hf, Wf), 8)
+            pred_cb = _mc("c", jnp.stack(rf[1]), "wp_1", (Hcf, Wcf), 4)
+            pred_cr = _mc("c", jnp.stack(rf[2]), "wp_2", (Hcf, Wcf), 4)
+            oy = f * seg_h
+            o1 = F_ * seg_h + f * seg_hc
+            o2 = F_ * seg_h + (F_ + f) * seg_hc
+            pred = pred.at[oy:oy + Hf, :Wf].set(pred_y)
+            pred = pred.at[o1:o1 + Hcf, :Wcf].set(pred_cb)
+            pred = pred.at[o2:o2 + Hcf, :Wcf].set(pred_cr)
     if True:
         init = None
         if m["itu"] is not None:
@@ -468,11 +483,15 @@ def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
     """F frame plans -> (pre_luma [F,H,W]u8, pre_chroma [2F]..., luma, chroma)
     device arrays via one dispatch (a few per-dtype uploads).
 
-    mc + refs: fused-MC inputs (see _build_batch); refs is a 3-tuple of
-    equal-length tuples of device uint8 reference planes (y, cb, cr).
+    mc + refs: fused-MC inputs (see _build_batch); refs is a per-frame
+    tuple of 3-tuples of equal-length tuples of device uint8 reference
+    planes (y, cb, cr) -- a single bare 3-tuple is accepted for F=1.
     stats: optional dict accumulating pack_s / upload_s / dispatch_s."""
     import time as _time
     t0 = _time.perf_counter()
+    if refs is not None and refs and not isinstance(refs[0][0],
+                                                    (tuple, list)):
+        refs = (refs,)    # legacy F=1 call shape
     bufs, meta = _build_batch(tplans, plans, policy=policy, mc=mc)
     t1 = _time.perf_counter()
     dbufs = tuple(jnp.asarray(b) for b in bufs)

@@ -49,6 +49,47 @@ def start_tunnel_warmup() -> None:
                      name="p265-tunnel-warmup").start()
 
 
+def plan_frame_groups(tasks, max_f: int = 4) -> list:
+    """Frame-DAG scheduler (SURVEY.md 2.3 'frame parallel'): partition a
+    decode-order task list into groups of MUTUALLY INDEPENDENT inter
+    pictures that can share ONE Stage-B dispatch on the batch axis --
+    hierarchical-B siblings whose references all lie outside the group
+    (e.g. testgen RA mini-GOPs decode 0,4,2 then batch {1,3}).
+
+    A task joins the open group iff: it is an inter picture without PCM,
+    same geometry and filter flags as the group, its DPB reference set
+    contains no group member's POC, and the group stays within max_f.
+    Groups preserve decode order, so every reference outside the group is
+    already reconstructed when the group dispatches."""
+    def fsig(p):
+        return (p.sps, p.sh.deblocking_filter_disabled,
+                p.sps.sao_enabled and p.sh.sao_luma,
+                p.sps.sao_enabled and p.sh.sao_chroma)
+
+    from p265_tpu.pipeline.wavefront import ShapePolicy
+
+    def batchable(plan):
+        return (ShapePolicy.kind_of(plan) == 1 and plan.pus
+                and not getattr(plan, "_has_pcm", False))
+
+    groups: list[list] = []
+    cur: list = []
+    for t in tasks:
+        plan = t["plan"]
+        if (cur and len(cur) < max_f and batchable(plan)
+                and batchable(cur[0]["plan"])
+                and fsig(plan) == fsig(cur[0]["plan"])
+                and all(c["frame"].poc not in t["refs"] for c in cur)):
+            cur.append(t)
+            continue
+        if cur:
+            groups.append(cur)
+        cur = [t]
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 class TpuDecoder(DecoderBase):
     """Annex-B stream -> YUV frames via the TPU reconstruction path.
 
@@ -65,7 +106,7 @@ class TpuDecoder(DecoderBase):
     def __init__(self, use_mxu: bool = True, apply_filters: bool = True,
                  filters_on_device: bool = True, use_native_parse: bool = True,
                  fused: bool = True, shape_policy=None,
-                 calibrate_frames: int = 16):
+                 calibrate_frames: int = 16, frame_dag_max: int = 4):
         super().__init__(apply_filters=apply_filters,
                          use_native_parse=use_native_parse)
         from p265_tpu.compile_cache import enable_persistent_cache
@@ -83,6 +124,7 @@ class TpuDecoder(DecoderBase):
             shape_policy = ShapePolicy()
         self.shape_policy = shape_policy
         self.calibrate_frames = calibrate_frames
+        self.frame_dag_max = frame_dag_max if fused else 1
         self._recon_queue: list | None = None
 
     def decode_stream(self, data: bytes):
@@ -114,8 +156,8 @@ class TpuDecoder(DecoderBase):
     def _drain_recon(self, stop_deferring: bool = False) -> None:
         q = self._recon_queue
         self._recon_queue = None if (stop_deferring or q is None) else []
-        for task in q or ():
-            self._run_recon(task)
+        for group in plan_frame_groups(q or (), self.frame_dag_max):
+            self._run_recon_group(group)
 
     def _run_recon(self, task: dict) -> None:
         """Fused path: one dispatch per picture; DPB slabs stay ON DEVICE
@@ -169,6 +211,59 @@ class TpuDecoder(DecoderBase):
             self.stats["fetch_s"] = (self.stats.get("fetch_s", 0.0)
                                      + _time.perf_counter() - t2)
         self.stats["recon_s"] += _time.perf_counter() - t1
+
+    def _run_recon_group(self, tasks: list) -> None:
+        """Frame-DAG batch: F mutually independent inter pictures in ONE
+        dispatch (plan_frame_groups).  Each frame keeps its own reference
+        stacks and MC block arrays (per-frame program inputs); the merged
+        tall plane carries all 3F segments through one scan + filter pass.
+        Shapes come from the (1, F) policy profile so batch rungs never
+        inflate the single-frame program."""
+        if len(tasks) == 1 or not self.fused or not (
+                self.shape_policy.profile(1).want_mc):
+            for t in tasks:
+                self._run_recon(t)
+            return
+        import time as _time
+        t1 = _time.perf_counter()
+        F = len(tasks)
+        plans = [t["plan"] for t in tasks]
+        tplans = []
+        for t in tasks:
+            tp = t.get("tplan")
+            if tp is None:
+                tp = self._build_tplan(t["plan"], skip_pred=True)
+            tplans.append(tp)
+        self.shape_policy.observe_group(
+            tplans, [len(t["refs"]) for t in tasks])
+        pol = self.shape_policy.profile((1, F))
+        from p265_tpu.kernels.mc import mc_arrays_padded, mc_block_counts
+        mc_list, refs_list = [], []
+        for t, plan in zip(tasks, plans):
+            refs = {p: r.planes for p, r in t["refs"].items()}
+            poc_list = sorted(refs)
+            mc_list.append(mc_arrays_padded(
+                plan, {p: i for i, p in enumerate(poc_list)},
+                {k: pol.mc_rows(k, n)
+                 for k, n in mc_block_counts(plan).items()}))
+            refs_list.append(self._ref_stacks(refs, poc_list,
+                                              pol.refs_cap(len(poc_list))))
+        from p265_tpu.pipeline.batch_decode import decode_batch_planes
+        pl, pc, fl, fc = decode_batch_planes(
+            tplans, plans, use_mxu=self.use_mxu, policy=pol,
+            mc=mc_list, refs=tuple(refs_list), stats=self.stats)
+        for f, t in enumerate(tasks):
+            frame, pic = t["frame"], t["pic"]
+            pic.planes = [fl[f], fc[f], fc[F + f]]
+            frame.prefilter = [pl[f], pc[f], pc[F + f]]
+            if self._fetch_async:
+                self._fetch_futs.append(self._fetch_executor().submit(
+                    self._materialize, frame, pic))
+            else:
+                frame.planes = [np.asarray(p, np.int32)
+                                for p in pic.planes]
+        self.stats["recon_s"] += _time.perf_counter() - t1
+        self.stats["dag_batched"] = self.stats.get("dag_batched", 0) + F
 
     def _fetch_executor(self):
         if self._fetch_exec is None:

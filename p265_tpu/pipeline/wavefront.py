@@ -275,10 +275,20 @@ class ShapePolicy:
         Mirrors the shape math of _merge_segments/_stack_plane/_build_batch
         for an F=1 batch: per bucket, lane cap = max TUs of all planes
         sharing a step, rows = total TUs + pad row."""
-        from p265_tpu.plan.frame_plan import LOG2_SIZES
         fp = tplan.frame_plan
-        prof = self.profile(self.kind_of(fp))
-        pps_ = tplan.planes
+        self._feed(self.profile(self.kind_of(fp)), [tplan], [n_refs])
+
+    def observe_group(self, tplans: list, n_refs_list: list) -> None:
+        """Feed a FRAME-DAG GROUP (mutually independent frames batched into
+        one Stage-B dispatch, e.g. hierarchical-B siblings): the group's
+        merged plane sums per-step lane counts and TU rows across frames,
+        so groups get their own profile keyed (1, F) -- batch rungs never
+        inflate the single-frame program's shapes."""
+        self._feed(self.profile((1, len(tplans))), tplans, n_refs_list)
+
+    def _feed(self, prof, tplans: list, n_refs_list: list) -> None:
+        from p265_tpu.plan.frame_plan import LOG2_SIZES
+        pps_ = [pp for tp in tplans for pp in tp.planes]
         n_steps = max(pp.n_steps for pp in pps_)
         prof.steps(n_steps)
         for log2 in LOG2_SIZES:
@@ -299,22 +309,25 @@ class ShapePolicy:
             prof.cap(log2, int(per_step[1:].max()) if n_steps else 1)
             prof.rows(log2, rows)
             prof.inter_rows(log2, irows)
-        if getattr(fp, "_needs_pred", False) or any(
-                pp.inter_pred is not None for pp in pps_):
-            self.want_pred = True
         from p265_tpu.golden.decoder import bypass_pixel_masks
-        if bypass_pixel_masks(fp) is not None:
-            self.want_masks = True
-        if fp.pus:
-            self.saw_pus = True
-            if any(p.motion.uses(1) for p in fp.pus):
-                self.saw_bi = True
-            from p265_tpu.kernels.mc import mc_block_counts
-            for key, n in mc_block_counts(fp).items():
-                prof.mc_rows(key, n)
-        if any(t.pcm for t in fp.tus):
-            self.saw_pcm = True
-        self.profile(1).refs_cap(n_refs)
+        from p265_tpu.kernels.mc import mc_block_counts
+        for tplan, n_refs in zip(tplans, n_refs_list):
+            fp = tplan.frame_plan
+            if getattr(fp, "_needs_pred", False) or any(
+                    pp.inter_pred is not None for pp in tplan.planes):
+                self.want_pred = True
+            if bypass_pixel_masks(fp) is not None:
+                self.want_masks = True
+            if fp.pus:
+                self.saw_pus = True
+                if any(p.motion.uses(1) for p in fp.pus):
+                    self.saw_bi = True
+                for key, n in mc_block_counts(fp).items():
+                    prof.mc_rows(key, n)   # per-frame inputs: max, not sum
+            if any(t.pcm for t in fp.tus):
+                self.saw_pcm = True
+            prof.refs_cap(n_refs)
+            self.profile(1).refs_cap(n_refs)
 
 
 def _round_up(n: int, m: int) -> int:

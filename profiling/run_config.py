@@ -9,6 +9,7 @@ Covers BASELINE.json configs 3/4/5 geometry (VERDICT r4 ask #3):
 Gates every decoded frame bit-exact vs the golden scalar decoder, then
 prints cold/warm wall-clock and the parse/pack/upload/dispatch/fetch split.
 """
+import functools
 import gc
 import os
 import sys
@@ -33,6 +34,10 @@ def main():
 
     data = get_stream(name)
     log(f"{name}: {len(data)} bytes")
+    kw = {}
+    if os.environ.get("P265_TPU_FRAME_DAG_MAX"):
+        kw["frame_dag_max"] = int(os.environ["P265_TPU_FRAME_DAG_MAX"])
+    PipelinedTpuDecoder = functools.partial(PipelinedTpuDecoder, **kw)
 
     dec = PipelinedTpuDecoder()   # starts tunnel warm-up
     t0 = time.perf_counter()
