@@ -23,26 +23,47 @@ BL = 4   # luma MC block size (minimum PU dimension)
 BC = 2   # chroma MC block size
 
 
-@functools.partial(jax.jit, static_argnames=("block", "taps", "n_refs"))
+# Edge padding of the reference planes for the contiguous-slice window
+# fetch: windows whose MVs overreach the picture by <= MC_PAD pixels read
+# the replicated border exactly (spec 8.5.4 edge clamp); frames with any
+# larger overreach fall back to the per-element clamped gather (exact for
+# arbitrary MVs).  16 px covers |mv| overreach of typical streams; the
+# host checks per frame (mc_overreach).
+MC_PAD = 16
+
+
+@functools.partial(jax.jit, static_argnames=("block", "taps", "n_refs",
+                                             "slice_pad"))
 def _mc_blocks(refs, pos, ref_idx, mv, frac_filters, block: int, taps: int,
-               n_refs: int):
+               n_refs: int, slice_pad: int = 0):
     """14-bit MC intermediates for n blocks.
 
-    refs: [n_refs, H, W] int32 reference planes (stacked)
+    refs: [n_refs, H, W] int32 reference planes (stacked); when
+    slice_pad > 0 they are edge-padded by that many pixels on each side
+    and windows are fetched as CONTIGUOUS (1, span, span) dynamic slices
+    -- 1.47x over the per-element gather at the 16x16 bucket
+    (profiling/probe_mc_gather.py; TPU gathers pay per-element, slices
+    pay per-window).
     pos: [n, 2] (y, x) block origin; ref_idx: [n]; mv: [n, 2] (mvx, mvy)
     frac_filters: [n, 2, taps] H and V filter taps for each block
     Returns [n, block, block] int32 (pre-rounding intermediates).
     """
     n = pos.shape[0]
-    H, W = refs.shape[1], refs.shape[2]
     half = taps // 2 - 1
     unit = 2 if taps == 8 else 3          # quarter-pel luma / eighth-pel chroma
     ix = pos[:, 1] + (mv[:, 0] >> unit) - half
     iy = pos[:, 0] + (mv[:, 1] >> unit) - half
     span = block + taps - 1
-    ys = jnp.clip(iy[:, None] + jnp.arange(span)[None, :], 0, H - 1)
-    xs = jnp.clip(ix[:, None] + jnp.arange(span)[None, :], 0, W - 1)
-    win = refs[ref_idx[:, None, None], ys[:, :, None], xs[:, None, :]]
+    if slice_pad:
+        win = jax.vmap(
+            lambda r, y, x: jax.lax.dynamic_slice(
+                refs, (r, y + slice_pad, x + slice_pad),
+                (1, span, span))[0])(ref_idx, iy, ix)
+    else:
+        H, W = refs.shape[1], refs.shape[2]
+        ys = jnp.clip(iy[:, None] + jnp.arange(span)[None, :], 0, H - 1)
+        xs = jnp.clip(ix[:, None] + jnp.arange(span)[None, :], 0, W - 1)
+        win = refs[ref_idx[:, None, None], ys[:, :, None], xs[:, None, :]]
     # horizontal: tmp[r, c] = sum_t fH[t] * win[r, c + t], then >> (bd-8)
     fh = frac_filters[:, 0]               # [n, taps]
     fv = frac_filters[:, 1]
@@ -96,7 +117,7 @@ CHROMA_BUCKETS = (8, 4, 2)
 
 
 def mc_pred_plane(ref_planes, buckets, shape: tuple, taps: int,
-                  has_bi: bool, wp_key: str):
+                  has_bi: bool, wp_key: str, slice_pad: int = 0):
     """Traced: one component's MC prediction plane, inside the fused program.
 
     ref_planes: [n_refs, H, W] uint8 (device-resident DPB slabs)
@@ -113,6 +134,9 @@ def mc_pred_plane(ref_planes, buckets, shape: tuple, taps: int,
     filt = jnp.asarray(LUMA_FILTER if taps == 8 else CHROMA_FILTER,
                        jnp.int32)
     refs = ref_planes.astype(jnp.int32)
+    if slice_pad:
+        refs = jnp.pad(refs, ((0, 0), (slice_pad, slice_pad),
+                              (slice_pad, slice_pad)), mode="edge")
     H, W = shape
     flat_idx, flat_val = [], []
     for block in sorted(buckets, reverse=True):
@@ -120,14 +144,16 @@ def mc_pred_plane(ref_planes, buckets, shape: tuple, taps: int,
         pos, mv0 = d["pos"], d["mv0"]
         f0 = jnp.stack([filt[mv0[:, 0] & fmask], filt[mv0[:, 1] & fmask]], 1)
         p0 = _mc_blocks.__wrapped__(refs, pos, d["r0"], mv0, f0, block,
-                                    taps, refs.shape[0])
+                                    taps, refs.shape[0],
+                                    slice_pad=slice_pad)
         p1 = None
         if has_bi:
             mv1 = d["mv1"]
             f1 = jnp.stack([filt[mv1[:, 0] & fmask],
                             filt[mv1[:, 1] & fmask]], 1)
             p1 = _mc_blocks.__wrapped__(refs, pos, d["r1"], mv1, f1, block,
-                                        taps, refs.shape[0])
+                                        taps, refs.shape[0],
+                                        slice_pad=slice_pad)
         wp = tuple(d[wp_key][:, k] for k in range(5))
         samp = _combine(p0, p1, d["has1"], wp)
         rows = pos[:, 0][:, None, None] + jnp.arange(block)[None, :, None]
@@ -138,6 +164,42 @@ def mc_pred_plane(ref_planes, buckets, shape: tuple, taps: int,
     plane = plane.at[jnp.concatenate(flat_idx)].set(
         jnp.concatenate(flat_val), mode="drop")
     return plane.reshape(shape)
+
+
+def mc_overreach(plan) -> int:
+    """Host: max pixels any MC window reaches beyond the picture edges
+    (both components, both lists) -- the exactness gate for the padded-
+    slice window fetch (slightly conservative upper bound)."""
+    pus = plan.pus
+    if not pus:
+        return 0
+    W, H = plan.sps.pic_width, plan.sps.pic_height
+    x = np.array([p.x for p in pus], np.int64)
+    y = np.array([p.y for p in pus], np.int64)
+    w = np.array([p.w for p in pus], np.int64)
+    h = np.array([p.h for p in pus], np.int64)
+    uses = np.array([[p.motion.uses(lx) for lx in range(2)] for p in pus],
+                    bool)
+    mv = np.array([p.motion.mv for p in pus], np.int64)  # [n, 2, 2]
+    worst = 0
+    for c_shift, taps in ((0, 8), (1, 4)):
+        unit = 2 + c_shift
+        cx, cy = x >> c_shift, y >> c_shift
+        cw, ch = w >> c_shift, h >> c_shift
+        CW, CH = W >> c_shift, H >> c_shift
+        for lx in range(2):
+            u = uses[:, lx]
+            if not u.any():
+                continue
+            dx = mv[u, lx, 0] >> unit
+            dy = mv[u, lx, 1] >> unit
+            for base, d, size, lim in ((cx[u], dx, cw[u], CW),
+                                       (cy[u], dy, ch[u], CH)):
+                start = base + d - taps
+                end = base + size + d + taps
+                worst = max(worst, int(np.max(-start, initial=0)),
+                            int(np.max(end - lim, initial=0)))
+    return worst
 
 
 def _tile_pu(x0: int, y0: int, w: int, h: int, sizes) -> list:

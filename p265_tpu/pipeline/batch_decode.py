@@ -165,7 +165,8 @@ def _pad_rows(a: np.ndarray, tgt: int) -> np.ndarray:
     return np.concatenate([a, rep])
 
 
-def _build_batch(tplans: list, plans: list, policy=None, mc=None):
+def _build_batch(tplans: list, plans: list, policy=None, mc=None,
+                 mc_pad: int = 0):
     """-> (bufs, static_meta) for one batch of F same-resolution frames.
 
     policy: optional ShapePolicy -- quantizes every data-dependent shape to
@@ -381,7 +382,8 @@ def _decode_batch_jit(bufs, meta, use_mxu: bool = True, refs=None):
 
             def _mc(grp, stack, wp_key, shape, taps):
                 return mc_pred_plane(stack, g[grp], shape, taps,
-                                     m["mc_bi"], wp_key)
+                                     m["mc_bi"], wp_key,
+                                     slice_pad=m.get("mc_pad", 0))
 
             pred_y = _mc("y", jnp.stack(rf[0]), "wp_0", (Hf, Wf), 8)
             pred_cb = _mc("c", jnp.stack(rf[1]), "wp_1", (Hcf, Wcf), 4)
@@ -479,7 +481,8 @@ def _decode_batch_jit(bufs, meta, use_mxu: bool = True, refs=None):
 
 
 def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
-                        policy=None, mc=None, refs=None, stats=None):
+                        policy=None, mc=None, refs=None, stats=None,
+                        mc_pad: int = 0):
     """F frame plans -> (pre_luma [F,H,W]u8, pre_chroma [2F]..., luma, chroma)
     device arrays via one dispatch (a few per-dtype uploads).
 
@@ -492,7 +495,8 @@ def decode_batch_planes(tplans: list, plans: list, use_mxu: bool = True,
     if refs is not None and refs and not isinstance(refs[0][0],
                                                     (tuple, list)):
         refs = (refs,)    # legacy F=1 call shape
-    bufs, meta = _build_batch(tplans, plans, policy=policy, mc=mc)
+    bufs, meta = _build_batch(tplans, plans, policy=policy, mc=mc,
+                              mc_pad=mc_pad)
     t1 = _time.perf_counter()
     dbufs = tuple(jnp.asarray(b) for b in bufs)
     t2 = _time.perf_counter()

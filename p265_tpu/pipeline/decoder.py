@@ -106,7 +106,14 @@ class TpuDecoder(DecoderBase):
     def __init__(self, use_mxu: bool = True, apply_filters: bool = True,
                  filters_on_device: bool = True, use_native_parse: bool = True,
                  fused: bool = True, shape_policy=None,
-                 calibrate_frames: int = 16, frame_dag_max: int = 4):
+                 calibrate_frames: int = 16, frame_dag_max: int = 1):
+        # frame_dag_max: >1 batches mutually independent inter pictures
+        # (hierarchical-B siblings) into one dispatch.  Default OFF on a
+        # single device: measured 0.55x on 1080p RA8 (warm 16.3 s batched
+        # vs 9.2 s unbatched, BASELINE.md round 5) -- one frame's program
+        # already saturates the chip, so batching only adds padding and a
+        # second set of compiles.  The axis pays when sibling frames land
+        # on DIFFERENT devices (shard/decoder stream axis).
         super().__init__(apply_filters=apply_filters,
                          use_native_parse=use_native_parse)
         from p265_tpu.compile_cache import enable_persistent_cache
@@ -175,8 +182,10 @@ class TpuDecoder(DecoderBase):
         from p265_tpu.pipeline.wavefront import ShapePolicy
         pol = self.shape_policy.profile(ShapePolicy.kind_of(plan))
         mc_in = refs_in = None
+        mc_pad = 0
         if pol.want_mc and not getattr(plan, "_has_pcm", False):
-            from p265_tpu.kernels.mc import mc_arrays_padded, mc_block_counts
+            from p265_tpu.kernels.mc import (MC_PAD, mc_arrays_padded,
+                                             mc_block_counts, mc_overreach)
             cnt = mc_block_counts(plan)
             poc_list = sorted(refs)
             mc_in = mc_arrays_padded(
@@ -184,13 +193,17 @@ class TpuDecoder(DecoderBase):
                 {k: pol.mc_rows(k, n) for k, n in cnt.items()})
             refs_in = self._ref_stacks(refs, poc_list,
                                        pol.refs_cap(len(poc_list)))
+            # contiguous-slice window fetch: exact while every window's
+            # overreach fits the edge pad; rare big-MV frames fall back
+            # to the per-element gather program (kernels/mc.py MC_PAD)
+            mc_pad = MC_PAD if mc_overreach(plan) <= MC_PAD else 0
         elif getattr(plan, "_needs_pred", False) or pol.want_pred:
             from p265_tpu.plan.frame_plan import attach_pred_planes
             attach_pred_planes(tplan, refs)
         from p265_tpu.pipeline.batch_decode import decode_batch_planes
         pl, pc, fl, fc = decode_batch_planes(
             [tplan], [plan], use_mxu=self.use_mxu, policy=pol,
-            mc=mc_in, refs=refs_in, stats=self.stats)
+            mc=mc_in, refs=refs_in, stats=self.stats, mc_pad=mc_pad)
         pic.planes = [fl[0], fc[0], fc[1]]        # device uint8 DPB slabs
         t2 = _time.perf_counter()
         # prefilter planes stay ON DEVICE: only tests/debug tooling read
@@ -251,7 +264,8 @@ class TpuDecoder(DecoderBase):
         from p265_tpu.pipeline.batch_decode import decode_batch_planes
         pl, pc, fl, fc = decode_batch_planes(
             tplans, plans, use_mxu=self.use_mxu, policy=pol,
-            mc=mc_list, refs=tuple(refs_list), stats=self.stats)
+            mc=mc_list, refs=tuple(refs_list), stats=self.stats,
+            mc_pad=mc_pad)
         for f, t in enumerate(tasks):
             frame, pic = t["frame"], t["pic"]
             pic.planes = [fl[f], fc[f], fc[F + f]]

@@ -58,7 +58,7 @@ dec2.decode_stream(data)
 bufs, meta, refs = captured["bufs"], captured["meta"], captured["refs"]
 m0 = _thaw(meta)
 log("captured P-frame program; mc buckets:",
-    [(g, b) for g, b, _ in m0["mc"]], "bi", m0["mc_bi"])
+    [(g, b) for fr in m0["mc"] for g, b, _ in fr], "bi", m0["mc_bi"])
 
 dbufs = tuple(jnp.asarray(b) for b in bufs)
 jax.block_until_ready(dbufs)
@@ -68,12 +68,12 @@ def run(label, mutate):
     m = _thaw(meta)
     mutate(m)
     mt = _freeze(m)
-    out = _decode_batch_jit(dbufs, mt, True, refs=refs)
+    out = _decode_batch_jit(dbufs, mt, True, refs=(refs,))
     np.asarray(out[0][:1, :1, :1])
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        out = _decode_batch_jit(dbufs, mt, True, refs=refs)
+        out = _decode_batch_jit(dbufs, mt, True, refs=(refs,))
         np.asarray(out[0][:1, :1, :1])
         best = min(best, time.perf_counter() - t0)
     log(f"{label:24s} {best*1e3:8.0f} ms")

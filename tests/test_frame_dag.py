@@ -31,7 +31,7 @@ def test_group_planner_structure():
             captured.extend(plan_frame_groups(q, 4))
             super()._drain_recon(stop_deferring)
 
-    Spy().decode_stream(s)
+    Spy(frame_dag_max=4).decode_stream(s)
     assert any(len(g) >= 2 for g in captured), "no sibling group formed"
     for g in captured:
         pocs = {t["frame"].poc for t in g}
@@ -44,7 +44,7 @@ def test_ra_batched_bit_exact_sync_and_pipelined():
     s = _ra_stream()
     gold = GoldenDecoder().decode_stream(s)
     for cls in (TpuDecoder, PipelinedTpuDecoder):
-        d = cls()
+        d = cls(frame_dag_max=4)
         out = d.decode_stream(s)
         assert d.stats.get("dag_batched", 0) >= 2, cls.__name__
         assert len(out) == len(gold)

@@ -60,9 +60,9 @@ def test_fused_mc_ldp2_multiref():
 
 
 def test_fused_mc_ra_bframes():
-    # 3 programs: intra, inter F=1, and the frame-DAG F=2 sibling batch
-    # (B1/B3 of the mini-GOP share one dispatch -- tests/test_frame_dag.py)
-    _check(_stream("RA", n=5, seed=7), max_programs=3)
+    # frame-DAG batching defaults OFF (measured 0.55x single-chip,
+    # BASELINE.md r5), so the RA stream compiles exactly 2 programs again
+    _check(_stream("RA", n=5, seed=7))
 
 
 def test_fused_mc_weighted_pred():
