@@ -106,7 +106,7 @@ class TpuDecoder(DecoderBase):
     def __init__(self, use_mxu: bool = True, apply_filters: bool = True,
                  filters_on_device: bool = True, use_native_parse: bool = True,
                  fused: bool = True, shape_policy=None,
-                 calibrate_frames: int = 16, frame_dag_max: int = 1):
+                 calibrate_frames: int = 8, frame_dag_max: int = 1):
         # frame_dag_max: >1 batches mutually independent inter pictures
         # (hierarchical-B siblings) into one dispatch.  Default OFF on a
         # single device: measured 0.55x on 1080p RA8 (warm 16.3 s batched
@@ -250,8 +250,10 @@ class TpuDecoder(DecoderBase):
         self.shape_policy.observe_group(
             tplans, [len(t["refs"]) for t in tasks])
         pol = self.shape_policy.profile((1, F))
-        from p265_tpu.kernels.mc import mc_arrays_padded, mc_block_counts
+        from p265_tpu.kernels.mc import (MC_PAD, mc_arrays_padded,
+                                         mc_block_counts, mc_overreach)
         mc_list, refs_list = [], []
+        mc_pad = MC_PAD
         for t, plan in zip(tasks, plans):
             refs = {p: r.planes for p, r in t["refs"].items()}
             poc_list = sorted(refs)
@@ -261,6 +263,8 @@ class TpuDecoder(DecoderBase):
                  for k, n in mc_block_counts(plan).items()}))
             refs_list.append(self._ref_stacks(refs, poc_list,
                                               pol.refs_cap(len(poc_list))))
+            if mc_overreach(plan) > MC_PAD:
+                mc_pad = 0    # any big-MV frame: whole batch falls back
         from p265_tpu.pipeline.batch_decode import decode_batch_planes
         pl, pc, fl, fc = decode_batch_planes(
             tplans, plans, use_mxu=self.use_mxu, policy=pol,

@@ -179,10 +179,15 @@ class ShapePolicy:
 
     def steps(self, needed: int) -> int:
         # steps is the scan TRIP COUNT: runtime scales linearly with it, so
-        # quantize to 128-multiples (still stream-stable via running max)
+        # quantize to a multiple (still stream-stable via running max)
         # rather than pow2 -- at 1080p real 1411 steps, pow2 pads to 2048
-        # (+45% scan time) while 1536 costs +9%.
-        self._steps = max(self._steps, _round_up(max(needed, 1), 128))
+        # (+45% scan time) while 1536 costs +9%.  The quantum is adaptive:
+        # P frames run short intra wavefronts (~83 steps at 1080p LDP)
+        # where a flat 128 quantum wasted +54% of the scan (~90 ms/frame,
+        # probe_inter_bisect r5); small counts quantize to 32.
+        n = max(needed, 1)
+        q = 32 if n <= 256 else 128
+        self._steps = max(self._steps, _round_up(n, q))
         return self._steps
 
     def cap(self, log2: int, needed: int) -> int:

@@ -37,6 +37,8 @@ def main():
     kw = {}
     if os.environ.get("P265_TPU_FRAME_DAG_MAX"):
         kw["frame_dag_max"] = int(os.environ["P265_TPU_FRAME_DAG_MAX"])
+    if os.environ.get("P265_TPU_CALIBRATE"):
+        kw["calibrate_frames"] = int(os.environ["P265_TPU_CALIBRATE"])
     PipelinedTpuDecoder = functools.partial(PipelinedTpuDecoder, **kw)
 
     dec = PipelinedTpuDecoder()   # starts tunnel warm-up
