@@ -53,19 +53,40 @@ class PipelinedTpuDecoder(TpuDecoder):
 
     def _schedule_recon(self, task: dict) -> None:
         task["tplan"] = self._build_tplan(task["plan"], skip_pred=True)
-        self.shape_policy.observe(task["tplan"], n_refs=len(task["refs"]))
         self._ensure_worker()
         if self._recon_queue is not None:
+            # calibration window: observe at parse time (the whole window
+            # dispatches after one joint policy update)
+            self.shape_policy.observe(task["tplan"],
+                                      n_refs=len(task["refs"]))
             self._recon_queue.append(task)
             if len(self._recon_queue) >= self.calibrate_frames:
                 held, self._recon_queue = self._recon_queue, None
                 self._put_groups(held)
             return
+        # post-window: do NOT observe here -- the parse thread races the
+        # recon worker, so parse-time rung bumps made program shapes
+        # depend on how far parse ran ahead (nondeterministic cache
+        # misses; a 16-frame 1080p stream recompiled ~330 s run-over-run).
+        # _build_batch's ladder calls grow the rungs at DISPATCH, in
+        # decode order, deterministically.
         self._q.put([task])
 
     def _put_groups(self, tasks: list) -> None:
         from p265_tpu.pipeline.decoder import plan_frame_groups
-        for g in plan_frame_groups(tasks, self.frame_dag_max):
+        groups = plan_frame_groups(tasks, self.frame_dag_max)
+        # cold path: warm-compile the first inter program (shapes-only
+        # AOT) on a side thread while the worker's first dispatch
+        # compiles the intra program -- the two serial server-side
+        # compiles ARE the cold wall (decoder._warm_compile)
+        first_inter = next(
+            (g[0] for g in groups[1:] if len(g) == 1 and g[0]["plan"].pus),
+            None)
+        if first_inter is not None:
+            threading.Thread(target=self._warm_compile,
+                             args=(first_inter,), daemon=True,
+                             name="p265-warm-compile").start()
+        for g in groups:
             self._q.put(g)
 
     def _drain_recon(self, stop_deferring: bool = False) -> None:

@@ -283,6 +283,49 @@ class TpuDecoder(DecoderBase):
         self.stats["recon_s"] += _time.perf_counter() - t1
         self.stats["dag_batched"] = self.stats.get("dag_batched", 0) + F
 
+    def _warm_compile(self, task: dict) -> None:
+        """AOT-compile a task's Stage-B program from SHAPES only (no
+        execution, jax .lower().compile()): the pipelined decoder runs this
+        on a side thread for the first inter task while the recon worker's
+        first dispatch compiles the intra program, overlapping the two
+        server-side compiles that make up the cold wall (53 + 152 s clean /
+        9 + 20 s warm server -- BASELINE.md r5 first-execution table)."""
+        try:
+            import jax
+            if jax.default_backend() != "tpu":
+                return          # CPU tests: don't double-compile
+            plan, tplan = task["plan"], task["tplan"]
+            from p265_tpu.pipeline.wavefront import ShapePolicy
+            pol = self.shape_policy.profile(ShapePolicy.kind_of(plan))
+            if not pol.want_mc or getattr(plan, "_has_pcm", False):
+                return
+            from p265_tpu.kernels.mc import (MC_PAD, mc_arrays_padded,
+                                             mc_block_counts, mc_overreach)
+            cnt = mc_block_counts(plan)
+            poc_list = sorted(task["refs"])
+            n_refs = pol.refs_cap(len(poc_list))
+            mc_in = mc_arrays_padded(
+                plan, {p: i for i, p in enumerate(poc_list)},
+                {k: pol.mc_rows(k, n) for k, n in cnt.items()})
+            mc_pad = MC_PAD if mc_overreach(plan) <= MC_PAD else 0
+            from p265_tpu.pipeline.batch_decode import (_build_batch,
+                                                        _decode_batch_jit)
+            bufs, meta = _build_batch([tplan], [plan], policy=pol,
+                                      mc=[mc_in], mc_pad=mc_pad)
+            sds = jax.ShapeDtypeStruct
+            h, w = plan.sps.pic_height, plan.sps.pic_width
+            refs_sds = ((tuple(sds((h, w), np.uint8)
+                               for _ in range(n_refs)),
+                         tuple(sds((h >> 1, w >> 1), np.uint8)
+                               for _ in range(n_refs)),
+                         tuple(sds((h >> 1, w >> 1), np.uint8)
+                               for _ in range(n_refs))),)
+            dbufs = tuple(sds(b.shape, b.dtype) for b in bufs)
+            _decode_batch_jit.lower(dbufs, meta, True,
+                                    refs=refs_sds).compile()
+        except Exception:
+            pass                # warming is best-effort by design
+
     def _fetch_executor(self):
         if self._fetch_exec is None:
             from concurrent.futures import ThreadPoolExecutor
