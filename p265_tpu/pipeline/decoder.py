@@ -205,6 +205,7 @@ class TpuDecoder(DecoderBase):
             [tplan], [plan], use_mxu=self.use_mxu, policy=pol,
             mc=mc_in, refs=refs_in, stats=self.stats, mc_pad=mc_pad)
         pic.planes = [fl[0], fc[0], fc[1]]        # device uint8 DPB slabs
+        pic.chroma_pair = fc                      # [2, Hc, Wc]: 1 d2h fetch
         t2 = _time.perf_counter()
         # prefilter planes stay ON DEVICE: only tests/debug tooling read
         # them, and fetching 3 more planes through the axon tunnel costs
@@ -220,7 +221,7 @@ class TpuDecoder(DecoderBase):
             self._fetch_futs.append(
                 self._fetch_executor().submit(self._materialize, frame, pic))
         else:
-            frame.planes = [np.asarray(p, np.int32) for p in pic.planes]
+            frame.planes = self._fetch_planes(pic)
             self.stats["fetch_s"] = (self.stats.get("fetch_s", 0.0)
                                      + _time.perf_counter() - t2)
         self.stats["recon_s"] += _time.perf_counter() - t1
@@ -336,9 +337,21 @@ class TpuDecoder(DecoderBase):
     def _materialize(self, frame, pic) -> None:
         import time as _time
         t0 = _time.perf_counter()
-        frame.planes = [np.asarray(p, np.int32) for p in pic.planes]
+        frame.planes = self._fetch_planes(pic)
         self.stats["fetch_s"] = (self.stats.get("fetch_s", 0.0)
                                  + _time.perf_counter() - t0)
+
+    @staticmethod
+    def _fetch_planes(pic) -> list:
+        """Materialize a picture's planes with TWO tunnel round trips
+        (luma + the [2, Hc, Wc] chroma pair) instead of three: each d2h
+        round trip costs ~26 ms fixed + ~36 MB/s (profiling/probe_d2h)."""
+        pair = getattr(pic, "chroma_pair", None)
+        if pair is not None and pair.shape[0] == 2:
+            y = np.asarray(pic.planes[0], np.int32)
+            c = np.asarray(pair).astype(np.int32)
+            return [y, c[0], c[1]]
+        return [np.asarray(p, np.int32) for p in pic.planes]
 
     def _wait_fetches(self) -> None:
         futs, self._fetch_futs = self._fetch_futs, []
