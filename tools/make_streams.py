@@ -57,6 +57,9 @@ GENERATORS = {
     "s4k": lambda: _intra(3840, 2160),
     "s1080_t8": lambda: _intra(1920, 1080, tiles_enabled=True,
                                num_tile_columns=4, num_tile_rows=2),
+    "s1080_t8w": lambda: _intra(1920, 1080, tiles_enabled=True,
+                                num_tile_columns=4, num_tile_rows=2,
+                                entropy_coding_sync_enabled=True),
 }
 
 
