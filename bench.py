@@ -97,26 +97,31 @@ def main():
         f"(spread {spread * 100:.0f}%)")
     fps = n_frames / best
 
-    # steady-state row (stderr only): longer stream if already generated
-    long_name = "s1080_ldp16"
-    if os.path.exists(stream_path(long_name)):
-        data16 = get_stream(long_name)
-        gc.collect()
-        d = PipelinedTpuDecoder()
-        t0 = time.perf_counter()
-        out = d.decode_stream(data16)
-        dt = time.perf_counter() - t0
-        log(f"steady-state {long_name}: {len(out)} frames in {dt:.2f} s "
-            f"({len(out) / dt:.3f} fps); stats:", _stats(d))
-        del out, d
-
+    # the driver's one JSON line comes FIRST: the optional steady-state
+    # row below must never be able to cost the scored metric
     print(json.dumps({
         "metric": "1080p Main-profile frames/s/chip (e2e LDP inter, "
                   "bit-exact)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(golden_s / best, 2),
-    }))
+    }), flush=True)
+
+    # steady-state row (stderr only): longer stream if already generated
+    try:
+        long_name = "s1080_ldp16"
+        if os.path.exists(stream_path(long_name)):
+            data16 = get_stream(long_name)
+            gc.collect()
+            d = PipelinedTpuDecoder()
+            t0 = time.perf_counter()
+            out = d.decode_stream(data16)
+            dt = time.perf_counter() - t0
+            log(f"steady-state {long_name}: {len(out)} frames in {dt:.2f} s "
+                f"({len(out) / dt:.3f} fps); stats:", _stats(d))
+            del out, d
+    except Exception as e:
+        log(f"steady-state section failed (non-fatal): {e!r}")
 
 
 if __name__ == "__main__":
